@@ -1,0 +1,94 @@
+"""TPU film: additive (contrib·w, Σw) accumulator with filter-splat scatter.
+
+Parity with reference ``src/common/film.rs``: ``FilmTile::add_sample``
+(:60-106) splats each radiance sample into every pixel within the filter
+radius using the 16x16 filter table; ``to_rgba_image`` (:230-251) normalizes
+by the weight sum and sRGB-encodes. Here the film is a single (H, W, 4)
+device array [r·w, g·w, b·w, Σw] and the splat is one masked scatter-add over
+the static 5x5 (radius-2) footprint — associative, so tiles/chips merge by
+plain addition (psum across a mesh).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .filter import FILTER_TABLE_WIDTH
+from .math import gamma_correct
+
+
+def film_new(width: int, height: int) -> jnp.ndarray:
+    return jnp.zeros((height, width, 4), jnp.float32)
+
+
+def sample_bounds(width: int, height: int, radius: float = 2.0):
+    """Raster-space sample rectangle, expanded by the filter radius.
+
+    Ref film.rs:174-185: p_min = floor(0.5 - r), p_max = ceil(res - 0.5 + r).
+    """
+    p_min = int(np.floor(0.5 - radius))
+    p_max_x = int(np.ceil(width - 0.5 + radius))
+    p_max_y = int(np.ceil(height - 0.5 + radius))
+    return (p_min, p_min), (p_max_x, p_max_y)
+
+
+def add_samples(film, p_film, radiance, filter_table, radius: float = 2.0,
+                footprint: int = 5):
+    """Splat a batch of samples into the film.
+
+    film: (H, W, 4); p_film: (N, 2) raster positions; radiance: (N, 3).
+    Ref film.rs:60-106 semantics: discrete position pd = p_film - 0.5; pixels
+    x in [ceil(pd-r), floor(pd+r)]; per-axis filter-table index
+    floor(|x - pd| / r * 16) clamped to 15.
+    """
+    h, w, _ = film.shape
+    pd = p_film - 0.5
+    p0 = jnp.ceil(pd - radius).astype(jnp.int32)  # (N,2) inclusive lo
+    p1 = (jnp.floor(pd + radius) + 1.0).astype(jnp.int32)  # (N,2) exclusive hi
+
+    offs = jnp.arange(footprint, dtype=jnp.int32)
+    # pixel coordinates over the footprint: (N, footprint)
+    xs = p0[:, 0:1] + offs[None, :]
+    ys = p0[:, 1:2] + offs[None, :]
+    inv_r = 1.0 / radius
+    fx = jnp.abs((xs.astype(jnp.float32) - pd[:, 0:1]) * inv_r * FILTER_TABLE_WIDTH)
+    fy = jnp.abs((ys.astype(jnp.float32) - pd[:, 1:2]) * inv_r * FILTER_TABLE_WIDTH)
+    ifx = jnp.minimum(jnp.floor(fx).astype(jnp.int32), FILTER_TABLE_WIDTH - 1)
+    ify = jnp.minimum(jnp.floor(fy).astype(jnp.int32), FILTER_TABLE_WIDTH - 1)
+
+    valid_x = (xs < p1[:, 0:1]) & (xs >= 0) & (xs < w)  # (N,F)
+    valid_y = (ys < p1[:, 1:2]) & (ys >= 0) & (ys < h)
+
+    # (N, Fy, Fx) weights and masks
+    table = filter_table.reshape(-1)
+    wgt = table[(ify[:, :, None] * FILTER_TABLE_WIDTH + ifx[:, None, :]).reshape(-1)]
+    wgt = wgt.reshape(ify.shape[0], footprint, footprint)
+    mask = (valid_y[:, :, None] & valid_x[:, None, :]).astype(jnp.float32)
+    wgt = wgt * mask
+
+    contrib = radiance[:, None, None, :] * wgt[..., None]  # (N,Fy,Fx,3)
+    update = jnp.concatenate([contrib, wgt[..., None]], axis=-1)  # (N,Fy,Fx,4)
+
+    yi = jnp.clip(ys, 0, h - 1)[:, :, None]  # (N,Fy,1)
+    xi = jnp.clip(xs, 0, w - 1)[:, None, :]  # (N,1,Fx)
+    flat_idx = (yi * w + xi).reshape(-1)  # (N*Fy*Fx,)
+    film_flat = film.reshape(h * w, 4)
+    film_flat = film_flat.at[flat_idx].add(
+        update.reshape(-1, 4), mode="drop", indices_are_sorted=False
+    )
+    return film_flat.reshape(h, w, 4)
+
+
+def to_rgb(film):
+    """Normalize the accumulator to linear RGB (H, W, 3)."""
+    inv_w = 1.0 / jnp.maximum(film[..., 3:4], 1e-20)
+    return film[..., :3] * inv_w
+
+
+def to_rgb8(film) -> np.ndarray:
+    """sRGB 8-bit image (ref spectrum.rs to_image_rgba:95-102)."""
+    rgb = to_rgb(film)
+    srgb = jnp.clip(gamma_correct(rgb) * 255.0 + 0.5, 0.0, 255.0)
+    return np.asarray(srgb).astype(np.uint8)
