@@ -119,10 +119,16 @@ def offset_ray_origin(p, p_error, n, w):
 
 
 def power_heuristic(nf, f_pdf, ng, g_pdf):
-    """Balance-power MIS heuristic beta=2 (ref math.rs:167-171)."""
+    """Balance-power MIS heuristic beta=2 (ref math.rs:167-171).
+
+    Computed as 1/(1+(g/f)^2) — algebraically identical to f^2/(f^2+g^2)
+    but immune to f32 overflow when a pdf is huge (grazing light samples).
+    """
     f = nf * f_pdf
     g = ng * g_pdf
-    return (f * f) / (f * f + g * g)
+    r = g / jnp.maximum(f, 1e-30)
+    w = 1.0 / (1.0 + r * r)
+    return jnp.where(f > 0.0, w, jnp.zeros_like(w))
 
 
 def spherical_theta(v):

@@ -1,0 +1,512 @@
+"""Vectorized BSDF library: sample / eval / pdf for all material models.
+
+Replaces the reference's per-hit BSDF object graph (bsdf.rs BSDF aggregator,
+bxdf/mod.rs Lambertian, bxdf/fresnel.rs specular lobes, bxdf/microfacet.rs
+Trowbridge-Reitz lobes, material/{mod,metal,substrate,disney}.rs) with
+branchless wavefront math: every material model is evaluated for the whole
+batch and the per-ray result selected by material type. All directions here
+are in the local shading frame (z = shading normal); the integrator converts
+world<->local with the per-hit (ss, ts, ns) frame.
+
+Material table semantics (matching compute_scattering_functions):
+  MATTE     — LambertianReflection(kd)                 (material/mod.rs:155-167)
+  MIRROR    — SpecularReflection(1, NoOp fresnel)       (material/mod.rs:180-195)
+  GLASS     — FresnelSpecular(kr, kt, 1, eta)           (material/mod.rs:216-256)
+  METAL     — MicrofacetReflection(ks, TR(ax,ay), Conductor(1, eta, k))
+                                                        (material/metal.rs:49-94)
+  SUBSTRATE — FresnelBlend(kd, ks, TR(ax, ay))          (material/substrate.rs:42-69)
+  DISNEY    — DisneyDiffuse(w*c) + MicrofacetReflection(1, DisneyTR,
+              DisneyFresnel(c_spec0, metallic, eta))    (material/disney.rs:172-264)
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import math as pm
+from ..core.math import ONE_MINUS_EPSILON
+from ..core.sampling import cosine_sample_hemisphere
+from ..scene.scene import (MAT_DISNEY, MAT_GLASS, MAT_MATTE, MAT_METAL,
+                           MAT_MIRROR, MAT_SUBSTRATE)
+
+INV_PI = np.float32(1.0 / np.pi)
+
+
+# ---------------------------------------------------------------- local frame
+def cos_theta(w):
+    return w[..., 2]
+
+
+def abs_cos_theta(w):
+    return jnp.abs(w[..., 2])
+
+
+def same_hemisphere(w, wp):
+    return w[..., 2] * wp[..., 2] > 0.0
+
+
+def reflect_local(wo):
+    return jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], axis=-1)
+
+
+def reflect_about(wo, n):
+    return -wo + 2.0 * pm.dot(wo, n)[..., None] * n
+
+
+def refract(wi, n, eta):
+    """Snell refraction (ref bxdf/mod.rs:73-89). Returns (wt, ok)."""
+    cos_i = pm.dot(n, wi)
+    sin2_i = jnp.maximum(0.0, 1.0 - cos_i * cos_i)
+    sin2_t = eta * eta * sin2_i
+    ok = sin2_t < 1.0
+    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+    wt = eta[..., None] * -wi + (eta * cos_i - cos_t)[..., None] * n
+    return wt, ok
+
+
+# ------------------------------------------------------------------- fresnel
+def fr_dielectric(cos_i, eta_i, eta_t):
+    """Dielectric Fresnel, handles both sides (ref fresnel.rs:21-40)."""
+    cos_i = jnp.clip(cos_i, -1.0, 1.0)
+    entering = cos_i > 0.0
+    ei = jnp.where(entering, eta_i, eta_t)
+    et = jnp.where(entering, eta_t, eta_i)
+    ci = jnp.abs(cos_i)
+    sin_i = jnp.sqrt(jnp.maximum(0.0, 1.0 - ci * ci))
+    sin_t = ei / et * sin_i
+    tir = sin_t >= 1.0
+    ct = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_t * sin_t))
+    r_parl = (et * ci - ei * ct) / jnp.maximum(et * ci + ei * ct, 1e-20)
+    r_perp = (ei * ci - et * ct) / jnp.maximum(ei * ci + et * ct, 1e-20)
+    fr = 0.5 * (r_parl * r_parl + r_perp * r_perp)
+    return jnp.where(tir, 1.0, fr)
+
+
+def fr_conductor(cos_i, eta_i, eta_t, k):
+    """Full complex-IOR conductor Fresnel, rgb (ref fresnel.rs:42-64)."""
+    ci = jnp.clip(cos_i, -1.0, 1.0)[..., None]
+    eta = eta_t / eta_i
+    etak = k / eta_i
+    ci2 = ci * ci
+    si2 = 1.0 - ci2
+    eta2 = eta * eta
+    etak2 = etak * etak
+    t0 = eta2 - etak2 - si2
+    a2b2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4.0 * eta2 * etak2, 0.0))
+    t1 = a2b2 + ci2
+    a = jnp.sqrt(jnp.maximum(0.5 * (a2b2 + t0), 0.0))
+    t2 = 2.0 * ci * a
+    rs = (t1 - t2) / jnp.maximum(t1 + t2, 1e-20)
+    t3 = ci2 * a2b2 + si2 * si2
+    t4 = t2 * si2
+    rp = rs * (t3 - t4) / jnp.maximum(t3 + t4, 1e-20)
+    return 0.5 * (rp + rs)
+
+
+def schlick_weight(cos_t):
+    m = jnp.clip(1.0 - cos_t, 0.0, 1.0)
+    return (m * m) * (m * m) * m
+
+
+def fr_schlick_spectrum(r0, cos_t):
+    return pm.lerp(r0, jnp.ones_like(r0), schlick_weight(cos_t)[..., None])
+
+
+def disney_fresnel(c_spec0, metallic, eta, cos_i):
+    """Lerp dielectric↔Schlick by metallic (ref disney.rs:128-136)."""
+    diel = fr_dielectric(cos_i, jnp.ones_like(cos_i), eta)[..., None]
+    schlick = fr_schlick_spectrum(c_spec0, cos_i)
+    return pm.lerp(jnp.broadcast_to(diel, schlick.shape), schlick,
+                   metallic[..., None])
+
+
+# ------------------------------------------------- Trowbridge-Reitz (GGX)
+def roughness_to_alpha(roughness):
+    """Log-poly roughness remap (ref microfacet.rs:119-127)."""
+    r = jnp.maximum(roughness, 1e-3)
+    x = jnp.log(r)
+    return (1.62142 + 0.819955 * x + 0.1734 * x ** 2 + 0.0171201 * x ** 3
+            + 0.000640711 * x ** 4)
+
+
+def tr_d(wh, ax, ay):
+    """GGX normal distribution (ref microfacet.rs:131-146)."""
+    c2 = wh[..., 2] * wh[..., 2]
+    s2 = jnp.maximum(0.0, 1.0 - c2)
+    tan2 = s2 / jnp.maximum(c2, 1e-20)
+    finite = c2 > 0.0
+    cos4 = c2 * c2
+    # cos/sin phi of wh
+    sin_t = jnp.sqrt(s2)
+    inv_sin = 1.0 / jnp.maximum(sin_t, 1e-20)
+    cphi = jnp.where(sin_t == 0.0, 1.0, jnp.clip(wh[..., 0] * inv_sin, -1, 1))
+    sphi = jnp.where(sin_t == 0.0, 1.0, jnp.clip(wh[..., 1] * inv_sin, -1, 1))
+    e = (cphi * cphi / (ax * ax) + sphi * sphi / (ay * ay)) * tan2
+    d = 1.0 / (np.pi * ax * ay * cos4 * (1.0 + e) * (1.0 + e))
+    return jnp.where(finite, d, 0.0)
+
+
+def tr_lambda(w, ax, ay):
+    """Smith masking Lambda (ref microfacet.rs:148-158)."""
+    c2 = w[..., 2] * w[..., 2]
+    s2 = jnp.maximum(0.0, 1.0 - c2)
+    abs_tan = jnp.sqrt(s2) / jnp.maximum(jnp.abs(w[..., 2]), 1e-20)
+    finite = c2 > 0.0
+    sin_t = jnp.sqrt(s2)
+    inv_sin = 1.0 / jnp.maximum(sin_t, 1e-20)
+    cphi = jnp.where(sin_t == 0.0, 1.0, jnp.clip(w[..., 0] * inv_sin, -1, 1))
+    sphi = jnp.where(sin_t == 0.0, 1.0, jnp.clip(w[..., 1] * inv_sin, -1, 1))
+    alpha = jnp.sqrt(cphi * cphi * ax * ax + sphi * sphi * ay * ay)
+    a2t2 = (alpha * abs_tan) * (alpha * abs_tan)
+    lam = (-1.0 + jnp.sqrt(1.0 + a2t2)) / 2.0
+    return jnp.where(finite, lam, 0.0)
+
+
+def tr_g1(w, ax, ay):
+    return 1.0 / (1.0 + tr_lambda(w, ax, ay))
+
+
+def tr_g(wo, wi, ax, ay, separable=None):
+    """Smith G; `separable` mask switches to G1*G1 (Disney, disney.rs:159-161)."""
+    joint = 1.0 / (1.0 + tr_lambda(wo, ax, ay) + tr_lambda(wi, ax, ay))
+    if separable is None:
+        return joint
+    sep = tr_g1(wo, ax, ay) * tr_g1(wi, ax, ay)
+    return jnp.where(separable, sep, joint)
+
+
+def _tr_sample_11(cos_t, u1, u2):
+    """Visible-normal slope sampling (ref microfacet.rs:32-81), batched."""
+    # normal-incidence branch
+    r_ni = jnp.sqrt(jnp.maximum(u1 / jnp.maximum(1.0 - u1, 1e-20), 0.0))
+    phi_ni = 2.0 * np.pi * u2
+    sx_ni = r_ni * jnp.cos(phi_ni)
+    sy_ni = r_ni * jnp.sin(phi_ni)
+
+    # general branch (guard all divisions; selected only when cos_t <= 0.9999)
+    ct = jnp.clip(cos_t, 1e-6, 0.9999)
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
+    tan_t = sin_t / ct
+    a = 1.0 / tan_t
+    g1 = 2.0 / (1.0 + jnp.sqrt(1.0 + 1.0 / (a * a)))
+    A = 2.0 * u1 / g1 - 1.0
+    denom = A * A - 1.0
+    tmp = jnp.where(denom == 0.0, 1e10, 1.0 / jnp.where(denom == 0.0, 1.0, denom))
+    tmp = jnp.minimum(tmp, 1e10)
+    B = tan_t
+    D = jnp.sqrt(jnp.maximum(B * B * tmp * tmp - (A * A - B * B) * tmp, 0.0))
+    sx1 = B * tmp - D
+    sx2 = B * tmp + D
+    sx = jnp.where((A < 0.0) | (sx2 > 1.0 / tan_t), sx1, sx2)
+    flip = u2 > 0.5
+    s = jnp.where(flip, 1.0, -1.0)
+    u2b = jnp.where(flip, 2.0 * (u2 - 0.5), 2.0 * (0.5 - u2))
+    z = (u2b * (u2b * (u2b * 0.27385 - 0.73369) + 0.46341)) / \
+        (u2b * (u2b * (u2b * 0.093073 + 0.309420) - 1.000000) + 0.597999)
+    sy = s * z * jnp.sqrt(1.0 + sx * sx)
+
+    ni = cos_t > 0.9999
+    return jnp.where(ni, sx_ni, sx), jnp.where(ni, sy_ni, sy)
+
+
+def tr_sample_wh(wo, u, ax, ay):
+    """Sample the visible GGX normal (ref microfacet.rs:83-104,160-169)."""
+    flip = wo[..., 2] < 0.0
+    w = jnp.where(flip[..., None], -wo, wo)
+    wi_str = pm.normalize(jnp.stack(
+        [ax * w[..., 0], ay * w[..., 1], w[..., 2]], axis=-1))
+    sx, sy = _tr_sample_11(cos_theta(wi_str), u[..., 0], u[..., 1])
+    s2 = jnp.maximum(0.0, 1.0 - wi_str[..., 2] ** 2)
+    sin_t = jnp.sqrt(s2)
+    inv_sin = 1.0 / jnp.maximum(sin_t, 1e-20)
+    cphi = jnp.where(sin_t == 0.0, 1.0, jnp.clip(wi_str[..., 0] * inv_sin, -1, 1))
+    sphi = jnp.where(sin_t == 0.0, 1.0, jnp.clip(wi_str[..., 1] * inv_sin, -1, 1))
+    tmp = cphi * sx - sphi * sy
+    sy = sphi * sx + cphi * sy
+    sx = tmp
+    sx = ax * sx
+    sy = ay * sy
+    wh = pm.normalize(jnp.stack([-sx, -sy, jnp.ones_like(sx)], axis=-1))
+    return jnp.where(flip[..., None], -wh, wh)
+
+
+def tr_pdf(wo, wh, ax, ay):
+    """Visible-normal pdf (ref microfacet.rs:171-173)."""
+    return tr_d(wh, ax, ay) * tr_g1(wo, ax, ay) * \
+        jnp.abs(pm.dot(wo, wh)) / jnp.maximum(abs_cos_theta(wo), 1e-20)
+
+
+# ---------------------------------------------------------------- materials
+def gather_params(scene, mat_id):
+    """Per-ray material parameter gather from the material table."""
+    ax_raw = scene.mat_rough[mat_id, 0]
+    ay_raw = scene.mat_rough[mat_id, 1]
+    remap = scene.mat_remap[mat_id]
+    ax = jnp.where(remap, roughness_to_alpha(ax_raw), ax_raw)
+    ay = jnp.where(remap, roughness_to_alpha(ay_raw), ay_raw)
+    mtype = scene.mat_type[mat_id]
+    # Disney derives its own alphas: max(0.001, roughness^2) (disney.rs:220-222)
+    rough_d = scene.mat_misc[mat_id, 1]
+    alpha_d = jnp.maximum(0.001, rough_d * rough_d)
+    ax = jnp.where(mtype == MAT_DISNEY, alpha_d, jnp.maximum(ax, 0.001))
+    ay = jnp.where(mtype == MAT_DISNEY, alpha_d, jnp.maximum(ay, 0.001))
+    return dict(
+        mtype=mtype,
+        kd=scene.mat_kd[mat_id],
+        ks=scene.mat_ks[mat_id],
+        eta3=scene.mat_eta[mat_id],
+        eta=scene.mat_eta[mat_id, 0],
+        k=scene.mat_k[mat_id],
+        ax=ax, ay=ay,
+        metallic=scene.mat_misc[mat_id, 0],
+    )
+
+
+def _disney_lobes(mp):
+    """Derived Disney quantities (disney.rs:172-240, supported subset)."""
+    c = mp["kd"]
+    metallic = mp["metallic"]
+    lum = pm.luminance(c)
+    c_tint = jnp.where((lum > 0.0)[..., None],
+                       c / jnp.maximum(lum, 1e-20)[..., None], 1.0)
+    diffuse_weight = 1.0 - metallic
+    r0 = ((mp["eta"] - 1.0) ** 2 / (mp["eta"] + 1.0) ** 2)[..., None]
+    c_spec0 = pm.lerp(r0 * jnp.ones_like(c), c, metallic[..., None])
+    return diffuse_weight[..., None] * c, c_spec0
+
+
+def _microfacet_f(r, wo, wi, ax, ay, fresnel_fn, separable=None):
+    """Torrance-Sparrow reflection f (ref microfacet.rs:197-212)."""
+    cto = abs_cos_theta(wo)
+    cti = abs_cos_theta(wi)
+    wh = wi + wo
+    wh_ok = pm.norm_sq(wh) > 0.0
+    whn = pm.normalize(wh)
+    fr = fresnel_fn(pm.dot(wi, whn))
+    val = r * tr_d(whn, ax, ay)[..., None] * \
+        tr_g(wo, wi, ax, ay, separable)[..., None] * fr / \
+        jnp.maximum(4.0 * cti * cto, 1e-20)[..., None]
+    ok = wh_ok & (cti > 0.0) & (cto > 0.0)
+    return jnp.where(ok[..., None], val, 0.0)
+
+
+def _microfacet_pdf(wo, wi, ax, ay):
+    """(ref microfacet.rs:245-251) — zero when not same hemisphere."""
+    wh = pm.normalize(wo + wi)
+    pdf = tr_pdf(wo, wh, ax, ay) / jnp.maximum(4.0 * pm.dot(wo, wh), 1e-20)
+    return jnp.where(same_hemisphere(wo, wi), pdf, 0.0)
+
+
+def _fresnel_blend_f(rd, rs, wo, wi, ax, ay):
+    """Ashikhmin-Shirley substrate f (ref microfacet.rs:408-427)."""
+    def pow5(v):
+        return (v * v) * (v * v) * v
+    diffuse = (28.0 / (23.0 * np.pi)) * rd * (1.0 - rs) * \
+        (1.0 - pow5(1.0 - 0.5 * abs_cos_theta(wi)))[..., None] * \
+        (1.0 - pow5(1.0 - 0.5 * abs_cos_theta(wo)))[..., None]
+    wh = wi + wo
+    wh_ok = pm.norm_sq(wh) > 0.0
+    whn = pm.normalize(wh)
+    schlick = rs + pow5(1.0 - pm.dot(wi, whn))[..., None] * (1.0 - rs)
+    spec = (tr_d(whn, ax, ay) /
+            jnp.maximum(4.0 * jnp.abs(pm.dot(wi, whn)) *
+                        jnp.maximum(abs_cos_theta(wi), abs_cos_theta(wo)),
+                        1e-20))[..., None] * schlick
+    return jnp.where(wh_ok[..., None], diffuse + spec, 0.0)
+
+
+def _fresnel_blend_pdf(wo, wi, ax, ay):
+    """(ref microfacet.rs:461-469)."""
+    wh = pm.normalize(wo + wi)
+    pdf_wh = tr_pdf(wo, wh, ax, ay)
+    pdf = 0.5 * (abs_cos_theta(wi) * INV_PI +
+                 pdf_wh / jnp.maximum(4.0 * pm.dot(wo, wh), 1e-20))
+    return jnp.where(same_hemisphere(wo, wi), pdf, 0.0)
+
+
+def _disney_diffuse_f(r, wo, wi):
+    """Burley diffuse (ref disney.rs:84-91)."""
+    fo = schlick_weight(abs_cos_theta(wo))
+    fi = schlick_weight(abs_cos_theta(wi))
+    return r * INV_PI * ((1.0 - fo / 2.0) * (1.0 - fi / 2.0))[..., None]
+
+
+def _cosine_pdf(wo, wi):
+    return jnp.where(same_hemisphere(wo, wi),
+                     abs_cos_theta(wi) * INV_PI, 0.0)
+
+
+def eval_f_pdf(mp, wo, wi, reflect_ng):
+    """BSDF f and pdf for NEE's light branch, flags = ALL − SPECULAR.
+
+    wo, wi local; reflect_ng: (N,) bool — (wi·ng)(wo·ng) > 0 computed in
+    world space by the caller (ref bsdf.rs:150-187 hemisphere routing).
+    Specular materials (mirror/glass) return f=0, pdf=0.
+    """
+    mtype = mp["mtype"]
+    ax, ay = mp["ax"], mp["ay"]
+    wo_ok = wo[..., 2] != 0.0
+
+    f_matte = mp["kd"] * INV_PI
+    pdf_matte = _cosine_pdf(wo, wi)
+
+    f_metal = _microfacet_f(
+        mp["ks"], wo, wi, ax, ay,
+        lambda ci: fr_conductor(jnp.abs(ci), jnp.ones_like(mp["eta3"]),
+                                mp["eta3"], mp["k"]))
+    pdf_metal = _microfacet_pdf(wo, wi, ax, ay)
+
+    f_sub = _fresnel_blend_f(mp["kd"], mp["ks"], wo, wi, ax, ay)
+    pdf_sub = _fresnel_blend_pdf(wo, wi, ax, ay)
+
+    dif_c, c_spec0 = _disney_lobes(mp)
+    sep = jnp.ones_like(mp["eta"], bool)
+    f_dis = _disney_diffuse_f(dif_c, wo, wi) + _microfacet_f(
+        jnp.ones_like(dif_c), wo, wi, ax, ay,
+        lambda ci: disney_fresnel(c_spec0, mp["metallic"], mp["eta"], ci),
+        separable=sep)
+    pdf_dis = 0.5 * (_cosine_pdf(wo, wi) + _microfacet_pdf(wo, wi, ax, ay))
+
+    sel3 = [(mtype == MAT_MATTE)[..., None], (mtype == MAT_METAL)[..., None],
+            (mtype == MAT_SUBSTRATE)[..., None],
+            (mtype == MAT_DISNEY)[..., None]]
+    f = jnp.select(sel3, [f_matte, f_metal, f_sub, f_dis],
+                   jnp.zeros_like(f_matte))
+    pdf = jnp.select(
+        [mtype == MAT_MATTE, mtype == MAT_METAL,
+         mtype == MAT_SUBSTRATE, mtype == MAT_DISNEY],
+        [pdf_matte, pdf_metal, pdf_sub, pdf_dis],
+        jnp.zeros_like(pdf_matte))
+
+    # all listed lobes are REFLECTION-type: zero f unless the ng-test says
+    # reflection (ref bsdf.rs:172-186)
+    f = jnp.where((reflect_ng & wo_ok)[..., None], f, 0.0)
+    pdf = jnp.where(wo_ok, pdf, 0.0)
+    return f, pdf
+
+
+def has_nonspecular(mtype):
+    """Materials with at least one non-specular lobe (NEE applies)."""
+    return (mtype != MAT_MIRROR) & (mtype != MAT_GLASS)
+
+
+def sample_f(mp, wo, u, reflect_ng_fn):
+    """Sample the BSDF, flags = ALL (path bounce, ref bsdf.rs:66-148).
+
+    mp: material params; wo: local outgoing; u: (N, 2) in [0,1);
+    reflect_ng_fn: callable wi_local → (N,) bool reflect test via geometric
+    normal in world space (needed for Disney's multi-lobe f re-evaluation).
+    Returns dict(wi, f, pdf, specular, transmission).
+    """
+    mtype = mp["mtype"]
+    ax, ay = mp["ax"], mp["ay"]
+    u0, u1 = u[..., 0], u[..., 1]
+
+    # ---- matte: cosine hemisphere (bxdf/mod.rs:103-121)
+    wi_matte = cosine_sample_hemisphere(u)
+    wi_matte = jnp.where((wo[..., 2] < 0.0)[..., None],
+                         wi_matte * jnp.asarray([1.0, 1.0, -1.0]), wi_matte)
+    pdf_matte = _cosine_pdf(wo, wi_matte)
+    f_matte = mp["kd"] * INV_PI
+
+    # ---- mirror (fresnel.rs:129-140): fresnel NoOp = 1
+    wi_mirror = reflect_local(wo)
+    pdf_mirror = jnp.ones_like(u0)
+    f_mirror = jnp.ones_like(mp["kd"]) / \
+        jnp.maximum(abs_cos_theta(wi_mirror), 1e-20)[..., None]
+
+    # ---- glass: FresnelSpecular (fresnel.rs:244-288)
+    eta_a = jnp.ones_like(mp["eta"])
+    eta_b = mp["eta"]
+    fr = fr_dielectric(cos_theta(wo), eta_a, eta_b)
+    take_refl = u0 < fr
+    wi_gr = reflect_local(wo)
+    f_gr = fr[..., None] * mp["kd"] / \
+        jnp.maximum(abs_cos_theta(wi_gr), 1e-20)[..., None]
+    entering = cos_theta(wo) > 0.0
+    ei = jnp.where(entering, eta_a, eta_b)
+    et = jnp.where(entering, eta_b, eta_a)
+    n_ff = jnp.stack([jnp.zeros_like(u0), jnp.zeros_like(u0),
+                      jnp.where(entering, 1.0, -1.0)], axis=-1)
+    wi_gt, refr_ok = refract(wo, n_ff, ei / et)
+    ft = mp["ks"] * (1.0 - fr)[..., None] * \
+        ((ei * ei) / (et * et))[..., None] / \
+        jnp.maximum(abs_cos_theta(wi_gt), 1e-20)[..., None]
+    f_gt = jnp.where(refr_ok[..., None], ft, 0.0)
+    wi_glass = jnp.where(take_refl[..., None], wi_gr, wi_gt)
+    f_glass = jnp.where(take_refl[..., None], f_gr, f_gt)
+    pdf_glass = jnp.where(take_refl, fr, 1.0 - fr)
+    glass_trans = ~take_refl
+
+    # ---- metal: sample visible normal, reflect (microfacet.rs:218-243)
+    wh_m = tr_sample_wh(wo, u, ax, ay)
+    wi_metal = reflect_about(wo, wh_m)
+    metal_ok = (wo[..., 2] != 0.0) & (pm.dot(wo, wh_m) >= 0.0) & \
+        same_hemisphere(wo, wi_metal)
+    pdf_metal = jnp.where(
+        metal_ok,
+        tr_pdf(wo, wh_m, ax, ay) / jnp.maximum(4.0 * pm.dot(wo, wh_m), 1e-20),
+        0.0)
+    f_metal = jnp.where(metal_ok[..., None], _microfacet_f(
+        mp["ks"], wo, wi_metal, ax, ay,
+        lambda ci: fr_conductor(jnp.abs(ci), jnp.ones_like(mp["eta3"]),
+                                mp["eta3"], mp["k"])), 0.0)
+
+    # ---- substrate: FresnelBlend sample (microfacet.rs:433-459)
+    half = u0 < 0.5
+    u0_s = jnp.where(half, jnp.minimum(2.0 * u0, ONE_MINUS_EPSILON),
+                     jnp.minimum(2.0 * (u0 - 0.5), ONE_MINUS_EPSILON))
+    us = jnp.stack([u0_s, u1], axis=-1)
+    wi_s_cos = cosine_sample_hemisphere(us)
+    wi_s_cos = jnp.where((wo[..., 2] < 0.0)[..., None],
+                         wi_s_cos * jnp.asarray([1.0, 1.0, -1.0]), wi_s_cos)
+    wh_s = tr_sample_wh(wo, us, ax, ay)
+    wi_s_spec = reflect_about(wo, wh_s)
+    wi_sub = jnp.where(half[..., None], wi_s_cos, wi_s_spec)
+    sub_ok = half | same_hemisphere(wo, wi_sub)
+    pdf_sub = jnp.where(sub_ok, _fresnel_blend_pdf(wo, wi_sub, ax, ay), 0.0)
+    f_sub = jnp.where(sub_ok[..., None],
+                      _fresnel_blend_f(mp["kd"], mp["ks"], wo, wi_sub, ax, ay),
+                      0.0)
+
+    # ---- disney: uniform pick of 2 lobes + remap (bsdf.rs:83-147)
+    comp = jnp.minimum(jnp.floor(u0 * 2.0), 1.0)
+    u0_d = u0 * 2.0 - comp
+    ud = jnp.stack([u0_d, u1], axis=-1)
+    take_diff = comp == 0.0
+    wi_d_cos = cosine_sample_hemisphere(ud)
+    wi_d_cos = jnp.where((wo[..., 2] < 0.0)[..., None],
+                         wi_d_cos * jnp.asarray([1.0, 1.0, -1.0]), wi_d_cos)
+    wh_d = tr_sample_wh(wo, ud, ax, ay)
+    wi_d_spec = reflect_about(wo, wh_d)
+    spec_ok = (wo[..., 2] != 0.0) & (pm.dot(wo, wh_d) >= 0.0)
+    wi_dis = jnp.where(take_diff[..., None], wi_d_cos, wi_d_spec)
+    dif_c, c_spec0 = _disney_lobes(mp)
+    sep = jnp.ones_like(mp["eta"], bool)
+    # summed pdf over both lobes / 2 (bsdf.rs:117-127)
+    pdf_dis = 0.5 * (_cosine_pdf(wo, wi_dis) +
+                     _microfacet_pdf(wo, wi_dis, ax, ay))
+    pdf_dis = jnp.where(take_diff | spec_ok, pdf_dis, 0.0)
+    # f re-evaluated over both lobes with ng hemisphere routing
+    reflect_ng_dis = reflect_ng_fn(wi_dis)
+    f_dis = _disney_diffuse_f(dif_c, wo, wi_dis) + _microfacet_f(
+        jnp.ones_like(dif_c), wo, wi_dis, ax, ay,
+        lambda ci: disney_fresnel(c_spec0, mp["metallic"], mp["eta"], ci),
+        separable=sep)
+    f_dis = jnp.where((reflect_ng_dis & (take_diff | spec_ok))[..., None],
+                      f_dis, 0.0)
+
+    sel = [mtype == MAT_MATTE, mtype == MAT_MIRROR, mtype == MAT_GLASS,
+           mtype == MAT_METAL, mtype == MAT_SUBSTRATE, mtype == MAT_DISNEY]
+    sel3 = [s[..., None] for s in sel]
+    wi = jnp.select(sel3, [wi_matte, wi_mirror, wi_glass, wi_metal, wi_sub,
+                           wi_dis], wi_matte)
+    f = jnp.select(sel3, [f_matte, f_mirror, f_glass, f_metal, f_sub, f_dis],
+                   jnp.zeros_like(f_matte))
+    pdf = jnp.select(sel, [pdf_matte, pdf_mirror, pdf_glass, pdf_metal,
+                           pdf_sub, pdf_dis], jnp.zeros_like(pdf_matte))
+    specular = (mtype == MAT_MIRROR) | (mtype == MAT_GLASS)
+    transmission = (mtype == MAT_GLASS) & glass_trans
+    return dict(wi=wi, f=f, pdf=pdf, specular=specular,
+                transmission=transmission)

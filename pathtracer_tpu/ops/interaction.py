@@ -1,0 +1,122 @@
+"""Surface interaction construction from hit records (SoA).
+
+Parity with reference ``src/pathtracer/shape.rs:187-356`` (partial
+derivatives from UVs, shading geometry with face-forwarded geometric
+normal) and ``src/pathtracer/interaction.rs`` (robust spawn_ray/_to with
+SHADOW_EPSILON, le() lookup). Hits are gathered per ray from the packed
+triangle soup; the BSDF shading frame (ss, ts, ns) is computed here once
+per bounce for all rays.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core import math as pm
+from .intersect import GAMMA7
+
+
+def make_interaction(scene, o, d, hit):
+    """Build SoA interaction data for a batch of hits.
+
+    scene: SceneData; o, d: (N, 3) ray origin/dir; hit: dict from
+    intersect_*. Returns a dict of arrays; entries are garbage where
+    hit["valid"] is False (caller masks).
+    """
+    tri = hit["tri"]
+    b = hit["b"]  # (N, 3)
+    p0 = scene.p0[tri]
+    p1 = scene.p1[tri]
+    p2 = scene.p2[tri]
+    uv0 = scene.uv0[tri]
+    uv1 = scene.uv1[tri]
+    uv2 = scene.uv2[tri]
+
+    b0, b1, b2 = b[..., 0:1], b[..., 1:2], b[..., 2:3]
+    p_hit = b0 * p0 + b1 * p1 + b2 * p2
+    uv_hit = b0 * uv0 + b1 * uv1 + b2 * uv2
+    p_error = GAMMA7 * (jnp.abs(b0 * p0) + jnp.abs(b1 * p1) + jnp.abs(b2 * p2))
+
+    # partial derivatives from UV parameterization (ref shape.rs:187-215)
+    duv02 = uv0 - uv2
+    duv12 = uv1 - uv2
+    dp02 = p0 - p2
+    dp12 = p1 - p2
+    det = duv02[..., 0] * duv12[..., 1] - duv02[..., 1] * duv12[..., 0]
+    degenerate = jnp.abs(det) < 1e-8
+    inv_det = 1.0 / jnp.where(degenerate, 1.0, det)
+    dpdu = (duv12[..., 1:2] * dp02 - duv02[..., 1:2] * dp12) * inv_det[..., None]
+    dpdv = (-duv12[..., 0:1] * dp02 + duv02[..., 0:1] * dp12) * inv_det[..., None]
+    bad = degenerate | (pm.norm_sq(jnp.cross(dpdu, dpdv)) == 0.0)
+    ng_raw = jnp.cross(dp02, dp12)
+    fb_u, fb_v = pm.coordinate_system(pm.normalize(ng_raw))
+    dpdu = jnp.where(bad[..., None], fb_u, dpdu)
+    dpdv = jnp.where(bad[..., None], fb_v, dpdv)
+
+    ng = pm.normalize(ng_raw)
+
+    # shading geometry (ref shape.rs:268-356)
+    has_n = scene.has_normals[tri]
+    n0 = scene.n0[tri]
+    n1 = scene.n1[tri]
+    n2 = scene.n2[tri]
+    ns_interp = b0 * n0 + b1 * n1 + b2 * n2
+    ns_len = pm.norm_sq(ns_interp)
+    ns = jnp.where((has_n & (ns_len > 0.0))[..., None],
+                   ns_interp / jnp.sqrt(jnp.maximum(ns_len, 1e-30))[..., None],
+                   ng)
+    # geometric normal face-forwarded to shading normal (orientation
+    # authoritative, ref interaction.rs:203-205)
+    ng = jnp.where(has_n[..., None], pm.face_forward(ng, ns), ng)
+
+    # shading tangent frame
+    ss0 = pm.normalize(dpdu)
+    ts = jnp.cross(ss0, ns)
+    ts_len = pm.norm_sq(ts)
+    ts_n = ts / jnp.sqrt(jnp.maximum(ts_len, 1e-30))[..., None]
+    ss = jnp.where((ts_len > 0.0)[..., None], jnp.cross(ts_n, ns), ss0)
+    cs_u, _ = pm.coordinate_system(ns)
+    ss = jnp.where((ts_len > 0.0)[..., None], ss, cs_u)
+
+    # BSDF frame (ref bsdf.rs:20-33): ss_b = normalize(dpdu-orthonormalized),
+    # ts_b = ns × ss_b
+    ts_b = jnp.cross(ns, ss)
+
+    return dict(
+        p=p_hit, p_error=p_error, uv=uv_hit, wo=-d,
+        ng=ng, ns=ns, ss=ss, ts=ts_b,
+        dpdu=dpdu, dpdv=dpdv,
+        material=scene.material_id[tri],
+        area_light=scene.area_light_id[tri],
+        tri=tri,
+    )
+
+
+def emitted_radiance(scene, it, w):
+    """Le at a hit toward w (ref light.rs:252-258: one-sided area light).
+
+    it: interaction dict; w: (N, 3) direction (usually -ray.d).
+    Returns (N, 3); zero where the hit isn't an emitter or faces away.
+    """
+    lid = it["area_light"]
+    is_emitter = lid >= 0
+    ke = scene.light_emit[jnp.maximum(lid, 0)]
+    facing = pm.dot(it["ng"], w) > 0.0
+    return jnp.where((is_emitter & facing)[..., None], ke, 0.0)
+
+
+def spawn_ray(p, p_error, n, d):
+    """Offset origin robustly along n for direction d (ref interaction.rs:32-39)."""
+    return pm.offset_ray_origin(p, p_error, n, d)
+
+
+def spawn_ray_to(p, p_error, n, target_p, target_err, target_n):
+    """Shadow ray between two interactions (ref interaction.rs:50-59).
+
+    Returns (origin, direction (unnormalized), t_max = 1 - SHADOW_EPSILON).
+    """
+    o = pm.offset_ray_origin(p, p_error, n, target_p - p)
+    tgt = pm.offset_ray_origin(target_p, target_err, target_n, o - target_p)
+    d = tgt - o
+    t_max = jnp.full(d.shape[:-1], 1.0 - pm.SHADOW_EPSILON, d.dtype)
+    return o, d, t_max

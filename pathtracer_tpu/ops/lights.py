@@ -1,0 +1,265 @@
+"""Vectorized light sampling: area / point / distant / infinite.
+
+Parity with reference ``src/pathtracer/light.rs`` (PointLight :86-150,
+DirectionalLight :152-229, DiffuseAreaLight :231-319, InfiniteAreaLight
+:321-503) and triangle area sampling (shape.rs:50-72,541-578). One light is
+chosen per shading point by a categorical draw (uniform_sample_one_light,
+integrator.rs:192-217); all light types are evaluated branchlessly and the
+per-ray result selected by the chosen light's type.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import math as pm
+from ..core.math import gamma
+from ..core.sampling import uniform_sample_triangle, sample_distribution_1d, \
+    jax_searchsorted_batched
+from ..scene.scene import LIGHT_AREA, LIGHT_DISTANT, LIGHT_INFINITE, LIGHT_POINT
+
+GAMMA6 = gamma(6)
+
+
+def _gather_tri(scene, tri):
+    return scene.p0[tri], scene.p1[tri], scene.p2[tri]
+
+
+def _tri_area(p0, p1, p2):
+    return 0.5 * pm.norm(jnp.cross(p1 - p0, p2 - p0))
+
+
+def _tri_sample(scene, tri, u):
+    """Uniform point on triangle with face-forwarded normal
+    (ref shape.rs:541-578). Returns (p, n, p_error)."""
+    p0, p1, p2 = _gather_tri(scene, tri)
+    b = uniform_sample_triangle(u)
+    b0, b1 = b[..., 0:1], b[..., 1:2]
+    b2 = 1.0 - b0 - b1
+    p = b0 * p0 + b1 * p1 + b2 * p2
+    n = pm.normalize(jnp.cross(p1 - p0, p2 - p0))
+    has_n = scene.has_normals[tri]
+    ns = b0 * scene.n0[tri] + b1 * scene.n1[tri] + b2 * scene.n2[tri]
+    n = jnp.where(has_n[..., None], pm.face_forward(n, ns), n)
+    p_err = GAMMA6 * (jnp.abs(b0 * p0) + jnp.abs(b1 * p1) + jnp.abs(b2 * p2))
+    return p, n, p_err
+
+
+def _pairwise(o, d, p0, p1, p2):
+    """Diagonal watertight test without materializing (N, N)."""
+    # Inline the same math as ops.intersect.watertight_hits but elementwise.
+    from .intersect import _permute_ray, _take3, GAMMA2, GAMMA3, GAMMA5
+    kx, ky, kz = _permute_ray(d)
+    dx, dy, dz = _take3(d, kx), _take3(d, ky), _take3(d, kz)
+    sx, sy, sz = -dx / dz, -dy / dz, 1.0 / dz
+
+    def shear(p):
+        pt = p - o
+        px = _take3(pt, kx)
+        py = _take3(pt, ky)
+        pz = _take3(pt, kz)
+        return px + sx * pz, py + sy * pz, pz
+
+    p0x, p0y, p0z = shear(p0)
+    p1x, p1y, p1z = shear(p1)
+    p2x, p2y, p2z = shear(p2)
+    e0 = p1x * p2y - p1y * p2x
+    e1 = p2x * p0y - p2y * p0x
+    e2 = p0x * p1y - p0y * p1x
+    neg = (e0 < 0) | (e1 < 0) | (e2 < 0)
+    pos = (e0 > 0) | (e1 > 0) | (e2 > 0)
+    edge_ok = ~(neg & pos)
+    det = e0 + e1 + e2
+    det_ok = det != 0.0
+    p0z, p1z, p2z = p0z * sz, p1z * sz, p2z * sz
+    t_scaled = e0 * p0z + e1 * p1z + e2 * p2z
+    range_ok = jnp.where(det < 0, t_scaled < 0.0, t_scaled > 0.0)
+    inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+    t = t_scaled * inv_det
+    max_zt = jnp.maximum(jnp.abs(p0z), jnp.maximum(jnp.abs(p1z), jnp.abs(p2z)))
+    max_xt = jnp.maximum(jnp.abs(p0x), jnp.maximum(jnp.abs(p1x), jnp.abs(p2x)))
+    max_yt = jnp.maximum(jnp.abs(p0y), jnp.maximum(jnp.abs(p1y), jnp.abs(p2y)))
+    delta_z = GAMMA3 * max_zt
+    delta_x = GAMMA5 * (max_xt + max_zt)
+    delta_y = GAMMA5 * (max_yt + max_zt)
+    delta_e = 2.0 * (GAMMA2 * max_xt * max_yt + delta_y * max_xt
+                     + delta_x * max_yt)
+    max_e = jnp.maximum(jnp.abs(e0), jnp.maximum(jnp.abs(e1), jnp.abs(e2)))
+    delta_t = 3.0 * (GAMMA3 * max_e * max_zt + delta_e * max_zt
+                     + delta_z * max_e) * jnp.abs(inv_det)
+    hit = edge_ok & det_ok & range_ok & (t > delta_t)
+    b = jnp.stack([e0 * inv_det, e1 * inv_det, e2 * inv_det], axis=-1)
+    return t, b, hit
+
+
+def env_direction_to_uv(scene, w_world):
+    """World direction → equirect uv (ref light.rs:488-498)."""
+    w = pm.normalize(w_world @ scene.world_to_env.T)
+    return jnp.stack([pm.spherical_phi(w) * pm.INV_2_PI,
+                      pm.spherical_theta(w) * pm.INV_PI], axis=-1)
+
+
+def env_lookup(scene, uv):
+    """Bilinear env map lookup at uv (MIPMap lookup_width(st, 0), level 0)."""
+    img = scene.env_map
+    h, w = img.shape[0], img.shape[1]
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    xm = jnp.mod(x0, w)  # repeat wrap (ref WrapMode::Repeat)
+    xp = jnp.mod(x0 + 1, w)
+    ym = jnp.clip(y0, 0, h - 1)
+    yp = jnp.clip(y0 + 1, 0, h - 1)
+    top = img[ym, xm] * (1 - fx) + img[ym, xp] * fx
+    bot = img[yp, xm] * (1 - fx) + img[yp, xp] * fx
+    return top * (1 - fy) + bot * fy
+
+
+def env_le(scene, d_world):
+    """Escaped-ray radiance from the environment (ref light.rs:488-498)."""
+    uv = env_direction_to_uv(scene, d_world)
+    le = env_lookup(scene, uv)
+    return jnp.where(scene.has_env, le, jnp.zeros_like(le))
+
+
+def _env_sample_li(scene, u):
+    """Importance-sample the env map 2D CDF (ref light.rs:401-441).
+
+    Returns (wi_world, pdf, radiance)."""
+    # marginal over v
+    d1, pdf1, v = sample_distribution_1d(
+        scene.env_marg_func, scene.env_marg_cdf, scene.env_marg_int,
+        u[..., 1])
+    nu = scene.env_cond_func.shape[-1]
+    cdf_v = scene.env_cond_cdf[v]
+    func_v = scene.env_cond_func[v]
+    int_v = scene.env_cond_int[v]
+    off = jnp.clip(jax_searchsorted_batched(cdf_v, u[..., 0]), 0, nu - 1)
+    c0 = jnp.take_along_axis(cdf_v, off[..., None], axis=-1)[..., 0]
+    c1 = jnp.take_along_axis(cdf_v, off[..., None] + 1, axis=-1)[..., 0]
+    denom = c1 - c0
+    du = jnp.where(denom > 0, (u[..., 0] - c0) / jnp.where(denom > 0, denom, 1.0),
+                   u[..., 0] - c0)
+    fv = jnp.take_along_axis(func_v, off[..., None], axis=-1)[..., 0]
+    pdf0 = jnp.where(int_v > 0, fv / jnp.maximum(int_v, 1e-30), 0.0)
+    d0 = (off.astype(jnp.float32) + du) / nu
+    uv = jnp.stack([d0, d1], axis=-1)
+    map_pdf = pdf0 * pdf1
+
+    theta = uv[..., 1] * np.pi
+    phi = uv[..., 0] * 2.0 * np.pi
+    sin_t = jnp.sin(theta)
+    w_local = jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi),
+                         jnp.cos(theta)], axis=-1)
+    wi = w_local @ scene.env_to_world.T
+    pdf = jnp.where(sin_t == 0.0, 0.0,
+                    map_pdf / (2.0 * np.pi * np.pi * jnp.maximum(sin_t, 1e-20)))
+    le = env_lookup(scene, uv)
+    ok = map_pdf > 0.0
+    return wi, jnp.where(ok, pdf, 0.0), jnp.where(ok[..., None], le, 0.0)
+
+
+def env_pdf_li(scene, w_world):
+    """pdf of the env light along a world direction (ref light.rs:447-460)."""
+    w = pm.normalize(w_world @ scene.world_to_env.T)
+    theta = pm.spherical_theta(w)
+    phi = pm.spherical_phi(w)
+    sin_t = jnp.sin(theta)
+    uv = jnp.stack([phi * pm.INV_2_PI, theta * pm.INV_PI], axis=-1)
+    nv, nu = scene.env_cond_func.shape
+    iu = jnp.clip((uv[..., 0] * nu).astype(jnp.int32), 0, nu - 1)
+    iv = jnp.clip((uv[..., 1] * nv).astype(jnp.int32), 0, nv - 1)
+    d2 = scene.env_cond_func[iv, iu] / jnp.maximum(scene.env_marg_int, 1e-30)
+    pdf = d2 / (2.0 * np.pi * np.pi * jnp.maximum(sin_t, 1e-20))
+    return jnp.where((sin_t == 0.0) | ~scene.has_env, 0.0, pdf)
+
+
+def sample_li(scene, light_idx, ref_p, ref_err, ref_n, u):
+    """sample_li for the chosen light of each ray.
+
+    Returns dict(wi (N,3) unit, pdf (N,), li (N,3), vis_target_p, vis_target_err,
+    vis_target_n, is_delta (N,)).
+    """
+    ltype = scene.light_type[light_idx]
+    emit = scene.light_emit[light_idx]
+    lvec = scene.light_vec[light_idx]
+    tri = jnp.maximum(scene.light_tri[light_idx], 0)
+
+    # ---- area light (light.rs:261-280)
+    ps, ns, perr = _tri_sample(scene, tri, u)
+    wi_area = pm.normalize(ps - ref_p)
+    pdf_area = _tri_pdf_along_sampled(scene, tri, ref_p, ref_err, ref_n, wi_area)
+    # one-sided emission toward the receiver (light.rs:252-258)
+    li_area = jnp.where((pm.dot(ns, -wi_area) > 0.0)[..., None], emit, 0.0)
+
+    # ---- point light (light.rs:100-121)
+    to_l = lvec - ref_p
+    dist_sq_p = pm.norm_sq(to_l)
+    wi_point = to_l / jnp.sqrt(jnp.maximum(dist_sq_p, 1e-30))[..., None]
+    li_point = emit / jnp.maximum(dist_sq_p, 1e-30)[..., None]
+
+    # ---- distant light (light.rs:174-196)
+    wi_dist = lvec
+    p_outside = ref_p + wi_dist * (2.0 * scene.world_radius)
+
+    # ---- infinite light (light.rs:401-441)
+    wi_env, pdf_env, li_env = _env_sample_li(scene, u)
+
+    is_area = ltype == LIGHT_AREA
+    is_point = ltype == LIGHT_POINT
+    is_dist = ltype == LIGHT_DISTANT
+    is_env = ltype == LIGHT_INFINITE
+
+    wi = jnp.select(
+        [is_area[..., None], is_point[..., None], is_dist[..., None],
+         is_env[..., None]],
+        [wi_area, wi_point, wi_dist, wi_env], wi_area)
+    pdf = jnp.select([is_area, is_point, is_dist, is_env],
+                     [pdf_area, jnp.ones_like(pdf_area),
+                      jnp.ones_like(pdf_area), pdf_env], 0.0)
+    li = jnp.select([is_area[..., None], is_point[..., None],
+                     is_dist[..., None], is_env[..., None]],
+                    [li_area, li_point, emit, li_env], jnp.zeros_like(li_area))
+
+    far = ref_p + wi * (2.0 * scene.world_radius)
+    target_p = jnp.select(
+        [is_area[..., None], is_point[..., None], is_dist[..., None],
+         is_env[..., None]],
+        [ps, jnp.broadcast_to(lvec, ps.shape), p_outside, far], ps)
+    target_err = jnp.where(is_area[..., None], perr, 0.0)
+    target_n = jnp.where(is_area[..., None], ns, 0.0)
+    is_delta = is_point | is_dist
+    return dict(wi=wi, pdf=pdf, li=li, target_p=target_p,
+                target_err=target_err, target_n=target_n, is_delta=is_delta,
+                is_env=is_env, is_area=is_area)
+
+
+def _tri_pdf_along_sampled(scene, tri, ref_p, ref_err, ref_n, wi):
+    """pdf_at_point via single-triangle re-intersection (shape.rs:62-72)."""
+    o = pm.offset_ray_origin(ref_p, ref_err, ref_n, wi)
+    p0, p1, p2 = _gather_tri(scene, tri)
+    t, b, hit = _pairwise(o, wi, p0, p1, p2)
+    hp = o + t[..., None] * wi
+    n = pm.normalize(jnp.cross(p0 - p2, p1 - p2))
+    area = _tri_area(p0, p1, p2)
+    dist_sq = pm.norm_sq(ref_p - hp)
+    cos_abs = jnp.abs(pm.dot(n, -wi))
+    pdf = dist_sq / jnp.maximum(cos_abs * area, 1e-20)
+    return jnp.where(hit, pdf, 0.0)
+
+
+def pdf_li(scene, light_idx, ref_p, ref_err, ref_n, wi):
+    """pdf of the chosen light along wi (for MIS BSDF branch).
+
+    Delta lights return 0 (light.rs:127-129,202-204)."""
+    ltype = scene.light_type[light_idx]
+    tri = jnp.maximum(scene.light_tri[light_idx], 0)
+    pdf_area = _tri_pdf_along_sampled(scene, tri, ref_p, ref_err, ref_n, wi)
+    pdf_env = env_pdf_li(scene, wi)
+    return jnp.select(
+        [ltype == LIGHT_AREA, ltype == LIGHT_INFINITE],
+        [pdf_area, pdf_env], 0.0)

@@ -1,0 +1,271 @@
+"""Packed scene representation: SoA device arrays + host build.
+
+TPU-native replacement for the reference's pointer-based scene graph
+(``RenderScene`` pathtracer/mod.rs:84-107, ``GeometricPrimitive``
+primitive.rs:8-51, per-triangle ``Arc<Triangle>`` shape.rs:626-641):
+triangles become a flat SoA soup; materials become an integer-typed table the
+shading stage selects from with masks; lights become a table indexed by a
+categorical draw. Everything is a pytree of jnp arrays, replicated per chip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# material type codes (ref material/mod.rs:28-36 enum, static table here)
+MAT_MATTE = 0
+MAT_MIRROR = 1
+MAT_GLASS = 2
+MAT_METAL = 3
+MAT_SUBSTRATE = 4
+MAT_DISNEY = 5
+
+# light type codes (ref light.rs Point/Directional/DiffuseArea/InfiniteArea)
+LIGHT_AREA = 0
+LIGHT_POINT = 1
+LIGHT_DISTANT = 2
+LIGHT_INFINITE = 3
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SceneData:
+    """Device-side scene. All leaves are jnp arrays (replicated per chip)."""
+
+    # triangle soup (F, ...)
+    p0: Any
+    p1: Any
+    p2: Any
+    n0: Any
+    n1: Any
+    n2: Any
+    has_normals: Any  # (F,) bool — whether shading normals are valid
+    uv0: Any
+    uv1: Any
+    uv2: Any
+    material_id: Any  # (F,) i32
+    area_light_id: Any  # (F,) i32, -1 if not emissive
+
+    # material table (M, ...)
+    mat_type: Any  # (M,) i32
+    mat_kd: Any  # (M,3) matte kd / glass kr / substrate rd / disney color
+    mat_ks: Any  # (M,3) glass kt / substrate rs / metal specular reflectance
+    mat_eta: Any  # (M,3) metal eta rgb; [:,0] = glass/disney ior
+    mat_k: Any  # (M,3) metal absorption k
+    mat_rough: Any  # (M,2) alpha_x/alpha_y (pre-remap values)
+    mat_misc: Any  # (M,4) disney: metallic, roughness, spec_tint, _
+    mat_remap: Any  # (M,) bool — run roughness_to_alpha remap
+
+    # light table (L, ...)
+    light_type: Any  # (L,) i32
+    light_emit: Any  # (L,3) radiance (area/infinite scale) or intensity
+    light_tri: Any  # (L,) i32 triangle id for area lights
+    light_vec: Any  # (L,3) point light position / distant light direction
+
+    # environment light (single; zeros if absent)
+    env_map: Any  # (He, We, 3) equirect radiance (1x1 black if none)
+    env_cond_func: Any  # (Hd, Wd) 2D distribution tables (1x1 if none)
+    env_cond_cdf: Any  # (Hd, Wd+1)
+    env_cond_int: Any  # (Hd,)
+    env_marg_func: Any  # (Hd,)
+    env_marg_cdf: Any  # (Hd+1,)
+    env_marg_int: Any  # ()
+    env_to_world: Any  # (3,3) light-to-world rotation/linear part
+    world_to_env: Any  # (3,3)
+
+    # scalars
+    world_center: Any  # (3,)
+    world_radius: Any  # ()
+    n_lights: Any  # () i32 — number of entries in the light table
+    has_env: Any  # () bool
+
+
+def _as_f32(x):
+    return jnp.asarray(np.asarray(x, np.float32))
+
+
+class SceneBuilder:
+    """Host-side accumulation of meshes/materials/lights → SceneData."""
+
+    def __init__(self) -> None:
+        self.tri_p: list[np.ndarray] = []  # (f,3,3) per mesh
+        self.tri_n: list[np.ndarray] = []
+        self.tri_has_n: list[np.ndarray] = []
+        self.tri_uv: list[np.ndarray] = []
+        self.tri_mat: list[np.ndarray] = []
+        self.tri_light: list[np.ndarray] = []
+        self.materials: list[dict] = []
+        self.lights: list[dict] = []
+        self.env: dict | None = None
+
+    def add_material(self, **kwargs) -> int:
+        defaults = dict(
+            mtype=MAT_MATTE, kd=(0.5, 0.5, 0.5), ks=(0.0, 0.0, 0.0),
+            eta=(1.5, 1.5, 1.5), k=(0.0, 0.0, 0.0), rough=(0.0, 0.0),
+            misc=(0.0, 0.0, 0.0, 0.0), remap=False,
+        )
+        defaults.update(kwargs)
+        self.materials.append(defaults)
+        return len(self.materials) - 1
+
+    def add_mesh(self, positions: np.ndarray, indices: np.ndarray,
+                 normals: np.ndarray | None, uvs: np.ndarray | None,
+                 material_id: int, emission: np.ndarray | None = None) -> None:
+        """Add a world-space triangle mesh.
+
+        positions (V,3), indices (F,3) int, normals (V,3) or None,
+        uvs (V,2) or None. If emission is set, one DiffuseAreaLight is
+        created per triangle (ref importer/mitsuba.rs:309-330).
+        """
+        positions = np.asarray(positions, np.float32)
+        indices = np.asarray(indices, np.int64)
+        f = indices.shape[0]
+        p = positions[indices]  # (F,3,3)
+        self.tri_p.append(p)
+        if normals is not None and len(normals):
+            self.tri_n.append(np.asarray(normals, np.float32)[indices])
+            self.tri_has_n.append(np.ones(f, bool))
+        else:
+            self.tri_n.append(np.zeros_like(p))
+            self.tri_has_n.append(np.zeros(f, bool))
+        if uvs is not None and len(uvs):
+            self.tri_uv.append(np.asarray(uvs, np.float32)[indices])
+        else:
+            default_uv = np.array([[0, 0], [1, 0], [1, 1]], np.float32)
+            self.tri_uv.append(np.broadcast_to(default_uv, (f, 3, 2)).copy())
+        self.tri_mat.append(np.full(f, material_id, np.int32))
+        if emission is not None:
+            light_ids = []
+            for i in range(f):
+                self.lights.append(dict(
+                    ltype=LIGHT_AREA, emit=np.asarray(emission, np.float32),
+                    tri=len(np.concatenate(self.tri_mat[:-1])) + i
+                    if len(self.tri_mat) > 1 else i,
+                    vec=np.zeros(3, np.float32)))
+                light_ids.append(len(self.lights) - 1)
+            self.tri_light.append(np.asarray(light_ids, np.int32))
+        else:
+            self.tri_light.append(np.full(f, -1, np.int32))
+
+    def add_point_light(self, position, intensity) -> None:
+        self.lights.append(dict(
+            ltype=LIGHT_POINT, emit=np.asarray(intensity, np.float32),
+            tri=-1, vec=np.asarray(position, np.float32)))
+
+    def add_distant_light(self, direction, radiance) -> None:
+        d = np.asarray(direction, np.float32)
+        d = d / np.linalg.norm(d)
+        self.lights.append(dict(
+            ltype=LIGHT_DISTANT, emit=np.asarray(radiance, np.float32),
+            tri=-1, vec=d))
+
+    def set_environment(self, image: np.ndarray, light_to_world: np.ndarray,
+                        scale: np.ndarray | float = 1.0) -> None:
+        """Equirect HDR environment light (ref light.rs:321-398)."""
+        img = np.asarray(image, np.float32) * np.asarray(scale, np.float32)
+        self.env = dict(image=img, l2w=np.asarray(light_to_world, np.float32))
+        self.lights.append(dict(
+            ltype=LIGHT_INFINITE, emit=np.ones(3, np.float32),
+            tri=-1, vec=np.zeros(3, np.float32)))
+
+    def build(self) -> SceneData:
+        from ..core.sampling import Distribution2D
+        from ..core.math import luminance
+
+        assert self.tri_p, "scene has no geometry"
+        p = np.concatenate(self.tri_p)  # (F,3,3)
+        n = np.concatenate(self.tri_n)
+        has_n = np.concatenate(self.tri_has_n)
+        uv = np.concatenate(self.tri_uv)
+        mat = np.concatenate(self.tri_mat)
+        lid = np.concatenate(self.tri_light)
+
+        lo = p.reshape(-1, 3).min(0)
+        hi = p.reshape(-1, 3).max(0)
+        center = (lo + hi) / 2
+        radius = float(np.linalg.norm(hi - center))
+
+        m = max(1, len(self.materials))
+        mats = self.materials or [dict(
+            mtype=MAT_MATTE, kd=(0.5, 0.5, 0.5), ks=(0, 0, 0),
+            eta=(1.5, 1.5, 1.5), k=(0, 0, 0), rough=(0, 0),
+            misc=(0, 0, 0, 0), remap=False)]
+
+        nl = max(1, len(self.lights))
+        lights = self.lights or [dict(ltype=LIGHT_POINT,
+                                      emit=np.zeros(3, np.float32), tri=-1,
+                                      vec=np.zeros(3, np.float32))]
+
+        if self.env is not None:
+            img = self.env["image"]  # (He, We, 3)
+            he, we = img.shape[:2]
+            # sin-theta-weighted luminance image at 2x resolution via the
+            # mip lookup (ref light.rs:375-396). We sample the base image
+            # bilinearly at the 2x grid — equivalent to lookup_width with a
+            # tiny filter width.
+            h2, w2 = 2 * he, 2 * we
+            vs = (np.arange(h2) + 0.5) / h2
+            us = (np.arange(w2) + 0.5) / w2
+            sin_theta = np.sin(np.pi * vs)
+            # bilinear sample of luminance
+            from ..utils.image import bilinear_sample
+            lum = np.asarray(luminance(jnp.asarray(img)))
+            samp = bilinear_sample(lum, us, vs)  # (h2, w2)
+            func = (samp * sin_theta[:, None]).astype(np.float32)
+            dist = Distribution2D.build(func)
+            l2w = self.env["l2w"][:3, :3]
+            env_fields = dict(
+                env_map=_as_f32(img),
+                env_cond_func=dist.cond_func, env_cond_cdf=dist.cond_cdf,
+                env_cond_int=dist.cond_int, env_marg_func=dist.marg_func,
+                env_marg_cdf=dist.marg_cdf, env_marg_int=dist.marg_int,
+                env_to_world=_as_f32(l2w),
+                world_to_env=_as_f32(np.linalg.inv(l2w)),
+                has_env=jnp.asarray(True),
+            )
+        else:
+            z1 = np.zeros((1, 1), np.float32)
+            env_fields = dict(
+                env_map=_as_f32(np.zeros((1, 1, 3))),
+                env_cond_func=_as_f32(z1),
+                env_cond_cdf=_as_f32(np.zeros((1, 2))),
+                env_cond_int=_as_f32(np.zeros(1)),
+                env_marg_func=_as_f32(np.zeros(1)),
+                env_marg_cdf=_as_f32(np.zeros(2)),
+                env_marg_int=jnp.float32(0.0),
+                env_to_world=_as_f32(np.eye(3)),
+                world_to_env=_as_f32(np.eye(3)),
+                has_env=jnp.asarray(False),
+            )
+
+        has_env = env_fields.pop("has_env")
+        return SceneData(
+            p0=_as_f32(p[:, 0]), p1=_as_f32(p[:, 1]), p2=_as_f32(p[:, 2]),
+            n0=_as_f32(n[:, 0]), n1=_as_f32(n[:, 1]), n2=_as_f32(n[:, 2]),
+            has_normals=jnp.asarray(has_n),
+            uv0=_as_f32(uv[:, 0]), uv1=_as_f32(uv[:, 1]), uv2=_as_f32(uv[:, 2]),
+            material_id=jnp.asarray(mat, jnp.int32),
+            area_light_id=jnp.asarray(lid, jnp.int32),
+            mat_type=jnp.asarray([mm["mtype"] for mm in mats], jnp.int32),
+            mat_kd=_as_f32([mm["kd"] for mm in mats]),
+            mat_ks=_as_f32([mm["ks"] for mm in mats]),
+            mat_eta=_as_f32([mm["eta"] for mm in mats]),
+            mat_k=_as_f32([mm["k"] for mm in mats]),
+            mat_rough=_as_f32([mm["rough"] for mm in mats]),
+            mat_misc=_as_f32([mm["misc"] for mm in mats]),
+            mat_remap=jnp.asarray([bool(mm["remap"]) for mm in mats]),
+            light_type=jnp.asarray([l["ltype"] for l in lights], jnp.int32),
+            light_emit=_as_f32([l["emit"] for l in lights]),
+            light_tri=jnp.asarray([l["tri"] for l in lights], jnp.int32),
+            light_vec=_as_f32([l["vec"] for l in lights]),
+            **env_fields,
+            world_center=_as_f32(center),
+            world_radius=jnp.float32(radius),
+            n_lights=jnp.int32(len(self.lights)),
+            has_env=has_env,
+        )
