@@ -1,0 +1,256 @@
+"""BVH: host-side SAH build → flattened node arrays → device traversal.
+
+Parity with reference ``src/pathtracer/accelerator.rs``: 12-bucket SAH
+recursive build with leaf size <= max_prims (:206-267), flattened
+depth-first LinearBVHNode layout with second-child offsets (:309-346), and
+iterative front-to-back traversal with a 64-deep stack ordered by the ray
+direction sign on the split axis (:358-475). The build runs on host
+(numpy; accel/cpp provides a C++ builder for huge scenes), the traversal
+runs on device as a lane-parallel ``lax.while_loop``: every ray pops one
+node per iteration, interior hits push children far-first, leaf hits run
+the watertight triangle test on up to ``max_leaf`` primitives.
+
+Triangles are REORDERED during the build so each leaf's primitives are
+contiguous; the permutation is returned so the caller reorders the packed
+scene arrays once (no extra indirection at trace time).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import math as pm
+from ..ops.intersect import watertight_hit_diag, _take3
+
+N_BUCKETS = 12
+STACK_DEPTH = 64
+
+
+class _HashableArray:
+    """Host-side array carried as jit-static aux data (hashed by identity)."""
+
+    def __init__(self, a):
+        self.a = a
+
+    def __hash__(self):
+        return id(self.a)
+
+    def __eq__(self, other):
+        return self.a is getattr(other, "a", None)
+
+
+@dataclasses.dataclass
+class BVHArrays:
+    """Flattened BVH as device arrays (SoA LinearBVHNode)."""
+
+    bounds_min: jnp.ndarray  # (M, 3)
+    bounds_max: jnp.ndarray  # (M, 3)
+    offset: jnp.ndarray  # (M,) prims-offset (leaf) or second-child (interior)
+    n_prims: jnp.ndarray  # (M,) 0 for interior nodes
+    axis: jnp.ndarray  # (M,) split axis of interior nodes
+    order: np.ndarray  # (F,) host-side triangle permutation applied
+    max_leaf: int
+
+
+jax.tree_util.register_pytree_node(
+    BVHArrays,
+    lambda b: ((b.bounds_min, b.bounds_max, b.offset, b.n_prims, b.axis),
+               (_HashableArray(b.order), b.max_leaf)),
+    lambda aux, kids: BVHArrays(*kids, order=aux[0].a, max_leaf=aux[1]),
+)
+
+
+def build_bvh(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
+              max_prims: int = 4) -> BVHArrays:
+    """12-bucket SAH build over triangle bounds (host, numpy)."""
+    f = len(p0)
+    lo = np.minimum(np.minimum(p0, p1), p2).astype(np.float32)
+    hi = np.maximum(np.maximum(p0, p1), p2).astype(np.float32)
+    centroid = 0.5 * (lo + hi)
+
+    nb_min: list[np.ndarray] = []
+    nb_max: list[np.ndarray] = []
+    noffset: list[int] = []
+    nprims: list[int] = []
+    naxis: list[int] = []
+    order: list[np.ndarray] = []
+    n_ordered = 0
+
+    def sa(e):
+        return 2.0 * (e[0] * e[1] + e[1] * e[2] + e[2] * e[0])
+
+    def emit(b_lo, b_hi, off, np_, ax):
+        nb_min.append(b_lo)
+        nb_max.append(b_hi)
+        noffset.append(off)
+        nprims.append(np_)
+        naxis.append(ax)
+        return len(nb_min) - 1
+
+    rec_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(rec_limit, 10_000 + f))
+
+    def build(prims) -> int:
+        nonlocal n_ordered
+        b_lo = lo[prims].min(0)
+        b_hi = hi[prims].max(0)
+
+        def leaf():
+            nonlocal n_ordered
+            idx = emit(b_lo, b_hi, n_ordered, len(prims), 0)
+            order.append(prims)
+            n_ordered += len(prims)
+            return idx
+
+        if len(prims) <= max_prims:
+            return leaf()
+        c = centroid[prims]
+        c_lo, c_hi = c.min(0), c.max(0)
+        extent = c_hi - c_lo
+        axis = int(np.argmax(extent))
+        if extent[axis] <= 0:
+            return leaf()
+        scaled = np.minimum(((c[:, axis] - c_lo[axis]) / extent[axis]
+                             * N_BUCKETS).astype(np.int32), N_BUCKETS - 1)
+        bl, bh = lo[prims], hi[prims]
+        best_cost, best_split = np.inf, -1
+        for split in range(N_BUCKETS - 1):
+            left = scaled <= split
+            nl = int(left.sum())
+            nr = len(prims) - nl
+            if nl == 0 or nr == 0:
+                continue
+            cost = 0.125 + (nl * sa(bh[left].max(0) - bl[left].min(0)) +
+                            nr * sa(bh[~left].max(0) - bl[~left].min(0))) / \
+                max(sa(b_hi - b_lo), 1e-20)
+            if cost < best_cost:
+                best_cost, best_split = cost, split
+        if best_split < 0:
+            med = np.argsort(c[:, axis], kind="stable")
+            half = len(prims) // 2
+            li, ri = prims[med[:half]], prims[med[half:]]
+        else:
+            mask = scaled <= best_split
+            li, ri = prims[mask], prims[~mask]
+
+        node = emit(b_lo, b_hi, 0, 0, axis)
+        left_idx = build(li)
+        assert left_idx == node + 1
+        right_idx = build(ri)
+        noffset[node] = right_idx
+        return node
+
+    build(np.arange(f))
+    sys.setrecursionlimit(rec_limit)
+    perm = np.concatenate(order) if order else np.arange(0)
+    return BVHArrays(
+        bounds_min=jnp.asarray(np.stack(nb_min)),
+        bounds_max=jnp.asarray(np.stack(nb_max)),
+        offset=jnp.asarray(np.asarray(noffset, np.int32)),
+        n_prims=jnp.asarray(np.asarray(nprims, np.int32)),
+        axis=jnp.asarray(np.asarray(naxis, np.int32)),
+        order=perm,
+        max_leaf=max_prims,
+    )
+
+
+def _slab_test(bmin, bmax, o, inv_d, t_best):
+    """Robust AABB slab test with gamma(3) widening
+    (ref bounds.rs:198-232 intersect_p_precomp)."""
+    t0 = (bmin - o) * inv_d
+    t1 = (bmax - o) * inv_d
+    t_near = jnp.minimum(t0, t1)
+    t_far = jnp.maximum(t0, t1) * (1.0 + 2.0 * pm.gamma(3))
+    tn = jnp.max(t_near, axis=-1)
+    tf = jnp.min(t_far, axis=-1)
+    return (tn <= tf) & (tf > 0.0) & (tn < t_best)
+
+
+def bvh_intersect(bvh: BVHArrays, scene_p0, scene_p1, scene_p2,
+                  o, d, t_max, any_hit: bool = False):
+    """Lane-parallel BVH traversal (device).
+
+    scene_p* must already be in BVH order. Returns the same hit record as
+    intersect_brute; for any_hit=True, returns (N,) bool occlusion.
+    """
+    n = o.shape[0]
+    f32 = jnp.float32
+    inv_d = 1.0 / d
+    neg = d < 0.0
+    rows = jnp.arange(n)
+
+    state = dict(
+        stack=jnp.zeros((n, STACK_DEPTH), jnp.int32),
+        sp=jnp.ones((n,), jnp.int32),  # root sits at slot 0
+        t_best=t_max,
+        tri=jnp.zeros((n,), jnp.int32),
+        b=jnp.zeros((n, 3), f32),
+        found=jnp.zeros((n,), bool),
+    )
+
+    def live_mask(st):
+        live = st["sp"] > 0
+        if any_hit:
+            live = live & ~st["found"]
+        return live
+
+    def cond(st):
+        return jnp.any(live_mask(st))
+
+    def body(st):
+        live = live_mask(st)
+        sp = jnp.where(live, st["sp"] - 1, st["sp"])
+        node = st["stack"][rows, jnp.minimum(sp, STACK_DEPTH - 1)]
+        node = jnp.where(live, node, 0)
+
+        near = _slab_test(bvh.bounds_min[node], bvh.bounds_max[node],
+                          o, inv_d, st["t_best"]) & live
+
+        n_p = bvh.n_prims[node]
+        off = bvh.offset[node]
+        axis = bvh.axis[node]
+        is_leaf = n_p > 0
+
+        # --- leaf: watertight test on up to max_leaf triangles
+        t_best, tri, b, found = st["t_best"], st["tri"], st["b"], st["found"]
+        leaf_hit = near & is_leaf
+        for k in range(bvh.max_leaf):
+            in_leaf = leaf_hit & (k < n_p)
+            pid = jnp.where(in_leaf, off + k, 0)
+            t_k, b_k, hit_k = watertight_hit_diag(
+                o, d, t_best, scene_p0[pid], scene_p1[pid], scene_p2[pid])
+            take = in_leaf & hit_k
+            t_best = jnp.where(take, t_k, t_best)
+            tri = jnp.where(take, pid, tri)
+            b = jnp.where(take[:, None], b_k, b)
+            found = found | take
+
+        # --- interior: push far child first so the near child pops first
+        push = near & ~is_leaf
+        dir_neg = _take3(neg, axis)
+        child_near = jnp.where(dir_neg, off, node + 1)
+        child_far = jnp.where(dir_neg, node + 1, off)
+        stack = st["stack"]
+        slot = jnp.minimum(sp, STACK_DEPTH - 1)
+        stack = stack.at[rows, slot].set(
+            jnp.where(push, child_far, stack[rows, slot]))
+        sp = jnp.where(push, sp + 1, sp)
+        slot = jnp.minimum(sp, STACK_DEPTH - 1)
+        stack = stack.at[rows, slot].set(
+            jnp.where(push, child_near, stack[rows, slot]))
+        sp = jnp.where(push, sp + 1, sp)
+
+        return dict(stack=stack, sp=sp, t_best=t_best, tri=tri, b=b,
+                    found=found)
+
+    final = jax.lax.while_loop(cond, body, state)
+    if any_hit:
+        return final["found"]
+    valid = final["found"]
+    return dict(valid=valid, t=jnp.where(valid, final["t_best"], 0.0),
+                tri=final["tri"], b=final["b"])

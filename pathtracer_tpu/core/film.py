@@ -81,6 +81,83 @@ def add_samples(film, p_film, radiance, filter_table, radius: float = 2.0,
     return film_flat.reshape(h, w, 4)
 
 
+FILM_PAD = 4  # padded border: filter radius 2 (sample bounds) + 2 (splat)
+
+
+def film_pad_new(width: int, height: int, extra_rows: int = 0) -> jnp.ndarray:
+    """Padded film accumulator: origin shifted by FILM_PAD on each side.
+
+    Out-of-film splat targets land in the border and are cropped at the end
+    (matches the reference dropping off-film tile pixels at merge,
+    film.rs:193-211 intersect with pixel_bounds). ``extra_rows`` leaves
+    room for the last row band's zero-weight padding rows.
+    """
+    return jnp.zeros((height + 2 * FILM_PAD + extra_rows,
+                      width + 2 * FILM_PAD, 4), jnp.float32)
+
+
+def film_crop(film_pad: jnp.ndarray, width: int, height: int) -> jnp.ndarray:
+    return film_pad[FILM_PAD:FILM_PAD + height, FILM_PAD:FILM_PAD + width]
+
+
+def splat_tile(radiance, jx, jy, valid, filter_table, radius: float = 2.0):
+    """Dense tile splat: one sample per pixel of a (Th, Tw) band.
+
+    radiance: (Th, Tw, 3); jx, jy: (Th, Tw) jitters in [0,1); valid: (Th,
+    Tw) bool. Returns a (Th+4, Tw+4, 4) tile: 25 shifted dense adds replace
+    the reference's per-sample scatter loop (film.rs:60-106) — same filter
+    weights (16-entry table, floor-indexed), no scatter hardware needed.
+    """
+    th, tw = radiance.shape[:2]
+    f32 = jnp.float32
+    tile = jnp.zeros((th + 4, tw + 4, 4), f32)
+    inv_r = 1.0 / radius
+    table = filter_table  # (16, 16)
+
+    # per-axis offsets from the discrete sample position: x - pd = dx-jx+0.5
+    offs = []
+    for dx in range(-2, 3):
+        off = dx - jx + 0.5
+        fi = jnp.minimum(
+            jnp.floor(jnp.abs(off) * inv_r * FILTER_TABLE_WIDTH).astype(jnp.int32),
+            FILTER_TABLE_WIDTH - 1)
+        offs.append((off, fi))
+    offs_y = []
+    for dy in range(-2, 3):
+        off = dy - jy + 0.5
+        fi = jnp.minimum(
+            jnp.floor(jnp.abs(off) * inv_r * FILTER_TABLE_WIDTH).astype(jnp.int32),
+            FILTER_TABLE_WIDTH - 1)
+        offs_y.append((off, fi))
+
+    l_ok = jnp.where(valid[..., None], radiance, 0.0)
+    for iy, (offy, fiy) in enumerate(offs_y):
+        wy_ok = (jnp.abs(offy) <= radius) & valid
+        for ix, (offx, fix) in enumerate(offs):
+            w = table[fiy, fix]  # (Th, Tw) gather from 256-entry table
+            ok = wy_ok & (jnp.abs(offx) <= radius)
+            w = jnp.where(ok, w, 0.0)
+            update = jnp.concatenate([l_ok * w[..., None], w[..., None]],
+                                     axis=-1)
+            tile = jax.lax.dynamic_update_slice(
+                tile,
+                jax.lax.dynamic_slice(tile, (iy, ix, 0), (th, tw, 4)) + update,
+                (iy, ix, 0))
+    return tile
+
+
+def film_pad_accumulate(film_pad, tile, band_x0: int, band_y0: int):
+    """Add a (Th+4, Tw+4, 4) band tile into the padded film.
+
+    band_x0/band_y0: raster coords of the band's first pixel (may be
+    negative by the filter radius)."""
+    y = band_y0 - 2 + FILM_PAD
+    x = band_x0 - 2 + FILM_PAD
+    th, tw = tile.shape[0], tile.shape[1]
+    cur = jax.lax.dynamic_slice(film_pad, (y, x, 0), (th, tw, 4))
+    return jax.lax.dynamic_update_slice(film_pad, cur + tile, (y, x, 0))
+
+
 def to_rgb(film):
     """Normalize the accumulator to linear RGB (H, W, 3)."""
     inv_w = 1.0 / jnp.maximum(film[..., 3:4], 1e-20)

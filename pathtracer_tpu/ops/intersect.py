@@ -40,8 +40,13 @@ def _permute_ray(d):
 
 
 def _take3(v, k):
-    """v (..., 3), k (...,) int → v[..., k] elementwise."""
-    return jnp.take_along_axis(v, k[..., None], axis=-1)[..., 0]
+    """v (..., 3), k (...,) int → v[..., k] via arithmetic select.
+
+    k ∈ {0,1,2}; a select chain keeps this on the VPU (a gather here costs
+    ~1 elem/cycle on TPU and dominates the whole intersection test).
+    """
+    return jnp.where(k == 0, v[..., 0], jnp.where(k == 1, v[..., 1],
+                                                  v[..., 2]))
 
 
 def watertight_hits(o, d, t_max, p0, p1, p2):
@@ -61,9 +66,9 @@ def watertight_hits(o, d, t_max, p0, p1, p2):
     def shear(p):
         # p: (F, 3) → translated+permuted+sheared (N, F) components
         pt = p[None, :, :] - o[:, None, :]  # (N, F, 3)
-        px = jnp.take_along_axis(pt, kx[:, None, None], axis=-1)[..., 0]
-        py = jnp.take_along_axis(pt, ky[:, None, None], axis=-1)[..., 0]
-        pz = jnp.take_along_axis(pt, kz[:, None, None], axis=-1)[..., 0]
+        px = _take3(pt, kx[:, None])
+        py = _take3(pt, ky[:, None])
+        pz = _take3(pt, kz[:, None])
         return (px + sx[:, None] * pz, py + sy[:, None] * pz, pz)
 
     p0x, p0y, p0z = shear(p0)
@@ -115,6 +120,60 @@ def watertight_hits(o, d, t_max, p0, p1, p2):
 
     hit = edge_ok & det_ok & range_ok & t_ok
     b = jnp.stack([b0, b1, b2], axis=-1)
+    return t, b, hit
+
+
+def watertight_hit_diag(o, d, t_max, p0, p1, p2):
+    """Watertight test of ray i against triangle i (diagonal pairing).
+
+    o, d, p0/p1/p2: (N, 3); t_max: (N,). Same math as watertight_hits but
+    elementwise — used by BVH leaf tests and single-light pdf
+    re-intersection (ref shape.rs:62-72) without an (N, F) blowup.
+    """
+    kx, ky, kz = _permute_ray(d)
+    dx, dy, dz = _take3(d, kx), _take3(d, ky), _take3(d, kz)
+    sx, sy, sz = -dx / dz, -dy / dz, 1.0 / dz
+
+    def shear(p):
+        pt = p - o
+        px = _take3(pt, kx)
+        py = _take3(pt, ky)
+        pz = _take3(pt, kz)
+        return px + sx * pz, py + sy * pz, pz
+
+    p0x, p0y, p0z = shear(p0)
+    p1x, p1y, p1z = shear(p1)
+    p2x, p2y, p2z = shear(p2)
+    e0 = p1x * p2y - p1y * p2x
+    e1 = p2x * p0y - p2y * p0x
+    e2 = p0x * p1y - p0y * p1x
+    neg = (e0 < 0) | (e1 < 0) | (e2 < 0)
+    pos = (e0 > 0) | (e1 > 0) | (e2 > 0)
+    edge_ok = ~(neg & pos)
+    det = e0 + e1 + e2
+    det_ok = det != 0.0
+    p0z, p1z, p2z = p0z * sz, p1z * sz, p2z * sz
+    t_scaled = e0 * p0z + e1 * p1z + e2 * p2z
+    range_ok = jnp.where(
+        det < 0,
+        (t_scaled < 0.0) & (t_scaled >= t_max * det),
+        (t_scaled > 0.0) & (t_scaled <= t_max * det),
+    )
+    inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+    t = t_scaled * inv_det
+    max_zt = jnp.maximum(jnp.abs(p0z), jnp.maximum(jnp.abs(p1z), jnp.abs(p2z)))
+    max_xt = jnp.maximum(jnp.abs(p0x), jnp.maximum(jnp.abs(p1x), jnp.abs(p2x)))
+    max_yt = jnp.maximum(jnp.abs(p0y), jnp.maximum(jnp.abs(p1y), jnp.abs(p2y)))
+    delta_z = GAMMA3 * max_zt
+    delta_x = GAMMA5 * (max_xt + max_zt)
+    delta_y = GAMMA5 * (max_yt + max_zt)
+    delta_e = 2.0 * (GAMMA2 * max_xt * max_yt + delta_y * max_xt
+                     + delta_x * max_yt)
+    max_e = jnp.maximum(jnp.abs(e0), jnp.maximum(jnp.abs(e1), jnp.abs(e2)))
+    delta_t = 3.0 * (GAMMA3 * max_e * max_zt + delta_e * max_zt
+                     + delta_z * max_e) * jnp.abs(inv_det)
+    hit = edge_ok & det_ok & range_ok & (t > delta_t)
+    b = jnp.stack([e0 * inv_det, e1 * inv_det, e2 * inv_det], axis=-1)
     return t, b, hit
 
 

@@ -18,6 +18,7 @@ from ..core.math import gamma
 from ..core.sampling import uniform_sample_triangle, sample_distribution_1d, \
     jax_searchsorted_batched
 from ..scene.scene import LIGHT_AREA, LIGHT_DISTANT, LIGHT_INFINITE, LIGHT_POINT
+from .intersect import watertight_hit_diag
 
 GAMMA6 = gamma(6)
 
@@ -44,53 +45,6 @@ def _tri_sample(scene, tri, u):
     n = jnp.where(has_n[..., None], pm.face_forward(n, ns), n)
     p_err = GAMMA6 * (jnp.abs(b0 * p0) + jnp.abs(b1 * p1) + jnp.abs(b2 * p2))
     return p, n, p_err
-
-
-def _pairwise(o, d, p0, p1, p2):
-    """Diagonal watertight test without materializing (N, N)."""
-    # Inline the same math as ops.intersect.watertight_hits but elementwise.
-    from .intersect import _permute_ray, _take3, GAMMA2, GAMMA3, GAMMA5
-    kx, ky, kz = _permute_ray(d)
-    dx, dy, dz = _take3(d, kx), _take3(d, ky), _take3(d, kz)
-    sx, sy, sz = -dx / dz, -dy / dz, 1.0 / dz
-
-    def shear(p):
-        pt = p - o
-        px = _take3(pt, kx)
-        py = _take3(pt, ky)
-        pz = _take3(pt, kz)
-        return px + sx * pz, py + sy * pz, pz
-
-    p0x, p0y, p0z = shear(p0)
-    p1x, p1y, p1z = shear(p1)
-    p2x, p2y, p2z = shear(p2)
-    e0 = p1x * p2y - p1y * p2x
-    e1 = p2x * p0y - p2y * p0x
-    e2 = p0x * p1y - p0y * p1x
-    neg = (e0 < 0) | (e1 < 0) | (e2 < 0)
-    pos = (e0 > 0) | (e1 > 0) | (e2 > 0)
-    edge_ok = ~(neg & pos)
-    det = e0 + e1 + e2
-    det_ok = det != 0.0
-    p0z, p1z, p2z = p0z * sz, p1z * sz, p2z * sz
-    t_scaled = e0 * p0z + e1 * p1z + e2 * p2z
-    range_ok = jnp.where(det < 0, t_scaled < 0.0, t_scaled > 0.0)
-    inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
-    t = t_scaled * inv_det
-    max_zt = jnp.maximum(jnp.abs(p0z), jnp.maximum(jnp.abs(p1z), jnp.abs(p2z)))
-    max_xt = jnp.maximum(jnp.abs(p0x), jnp.maximum(jnp.abs(p1x), jnp.abs(p2x)))
-    max_yt = jnp.maximum(jnp.abs(p0y), jnp.maximum(jnp.abs(p1y), jnp.abs(p2y)))
-    delta_z = GAMMA3 * max_zt
-    delta_x = GAMMA5 * (max_xt + max_zt)
-    delta_y = GAMMA5 * (max_yt + max_zt)
-    delta_e = 2.0 * (GAMMA2 * max_xt * max_yt + delta_y * max_xt
-                     + delta_x * max_yt)
-    max_e = jnp.maximum(jnp.abs(e0), jnp.maximum(jnp.abs(e1), jnp.abs(e2)))
-    delta_t = 3.0 * (GAMMA3 * max_e * max_zt + delta_e * max_zt
-                     + delta_z * max_e) * jnp.abs(inv_det)
-    hit = edge_ok & det_ok & range_ok & (t > delta_t)
-    b = jnp.stack([e0 * inv_det, e1 * inv_det, e2 * inv_det], axis=-1)
-    return t, b, hit
 
 
 def env_direction_to_uv(scene, w_world):
@@ -242,7 +196,8 @@ def _tri_pdf_along_sampled(scene, tri, ref_p, ref_err, ref_n, wi):
     """pdf_at_point via single-triangle re-intersection (shape.rs:62-72)."""
     o = pm.offset_ray_origin(ref_p, ref_err, ref_n, wi)
     p0, p1, p2 = _gather_tri(scene, tri)
-    t, b, hit = _pairwise(o, wi, p0, p1, p2)
+    t, b, hit = watertight_hit_diag(
+        o, wi, jnp.full(wi.shape[:-1], jnp.inf, wi.dtype), p0, p1, p2)
     hp = o + t[..., None] * wi
     n = pm.normalize(jnp.cross(p0 - p2, p1 - p2))
     area = _tri_area(p0, p1, p2)

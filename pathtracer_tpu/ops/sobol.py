@@ -168,6 +168,41 @@ def sobol_sample(idx_lo, idx_hi, dim, scramble, sm32):
     return jnp.minimum(ONE_MINUS_EPSILON, v.astype(jnp.float32) * INV_2_POW_32)
 
 
+def index_bits52(idx_lo, idx_hi):
+    """Precompute the (N, 52) {0,1} bit expansion of a wave's sample index.
+
+    The index is constant per wave; expanding once lets every subsequent
+    dimension evaluation be a dense select+XOR-tree with no gathers.
+    """
+    return _index_bits(idx_lo, idx_hi)
+
+
+def sobol_sample_dim(bits52, dim, scramble, sm32):
+    """Sobol value for ONE dimension shared by the whole wave.
+
+    bits52: (N, 52) from index_bits52; dim: scalar (may be traced); sm32:
+    (1024, 52). Unlike ``sobol_sample`` (per-ray dims, row gather), this is
+    a dense slice + select — the wavefront integrator allocates static
+    per-bounce dimension slots so dims never diverge across rays
+    (deviation from the reference's adaptive per-path dimension counters,
+    sampler/sobol.rs:129-151; the sequence is still a valid Sobol LDS).
+    """
+    row = jax.lax.dynamic_slice(sm32, (dim, 0), (1, SOBOL_MATRIX_SIZE))[0]
+    v = _xor_reduce_52(jnp.where(bits52 == 1, row, jnp.uint32(0)))
+    v = v ^ scramble
+    return jnp.minimum(ONE_MINUS_EPSILON, v.astype(jnp.float32) * INV_2_POW_32)
+
+
+def sobol_sample_dim2(bits52, dim, scramble, sm32):
+    """Two consecutive dimensions at once → (N, 2)."""
+    rows = jax.lax.dynamic_slice(sm32, (dim, 0), (2, SOBOL_MATRIX_SIZE))
+    v = _xor_reduce_52(jnp.where(bits52[..., None, :] == 1, rows,
+                                 jnp.uint32(0)))
+    v = v ^ scramble[..., None]
+    return jnp.minimum(ONE_MINUS_EPSILON,
+                       v.astype(jnp.float32) * INV_2_POW_32)
+
+
 def remap_pixel_dims(domain: SobolDomain, s, dim01, pixel):
     """Remap dims 0/1 into the pixel's unit square (ref sobol.rs:185-192).
 

@@ -89,6 +89,32 @@ def _as_f32(x):
     return jnp.asarray(np.asarray(x, np.float32))
 
 
+def reorder_triangles(scene: "SceneData", order: np.ndarray) -> "SceneData":
+    """Permute the triangle soup (e.g. into BVH leaf order).
+
+    ``order[k]`` is the old index of the triangle now at slot k. Area-light
+    triangle references are remapped through the inverse permutation.
+    """
+    order = np.asarray(order)
+    inv = np.empty_like(order)
+    inv[order] = np.arange(len(order))
+    inv_d = jnp.asarray(inv.astype(np.int32))
+    idx = jnp.asarray(order.astype(np.int32))
+    light_tri = jnp.where(scene.light_tri >= 0,
+                          inv_d[jnp.maximum(scene.light_tri, 0)],
+                          scene.light_tri)
+    return dataclasses.replace(
+        scene,
+        p0=scene.p0[idx], p1=scene.p1[idx], p2=scene.p2[idx],
+        n0=scene.n0[idx], n1=scene.n1[idx], n2=scene.n2[idx],
+        has_normals=scene.has_normals[idx],
+        uv0=scene.uv0[idx], uv1=scene.uv1[idx], uv2=scene.uv2[idx],
+        material_id=scene.material_id[idx],
+        area_light_id=scene.area_light_id[idx],
+        light_tri=light_tri,
+    )
+
+
 class SceneBuilder:
     """Host-side accumulation of meshes/materials/lights → SceneData."""
 

@@ -1,0 +1,138 @@
+"""BSDF analytic invariants (SURVEY §4 test-pyramid design):
+white furnace / energy conservation, sample-pdf consistency, reciprocity of
+hemisphere routing."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pathtracer_tpu.ops import bsdf as bx
+from pathtracer_tpu.scene.scene import (MAT_DISNEY, MAT_GLASS, MAT_MATTE,
+                                        MAT_METAL, MAT_MIRROR, MAT_SUBSTRATE,
+                                        SceneBuilder)
+
+
+def make_params(mtype, n, **overrides):
+    b = SceneBuilder()
+    kw = dict(mtype=mtype)
+    kw.update(overrides)
+    b.add_material(**kw)
+    b.add_mesh(np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32),
+               np.array([[0, 1, 2]]), None, None, 0)
+    scene = b.build()
+    mat_id = jnp.zeros(n, jnp.int32)
+    return bx.gather_params(scene, mat_id)
+
+
+import jax
+
+
+@jax.jit
+def _sample_jit(mp, wo, u):
+    return bx.sample_f(mp, wo, u, lambda wi: wi[..., 2] * wo[..., 2] > 0)
+
+
+def mc_energy(mtype, wo_z=0.6, n=8192, **overrides):
+    """E[f * |cos| / pdf] for a fixed wo — reflectance estimate."""
+    mp = make_params(mtype, n, **overrides)
+    wo = jnp.broadcast_to(
+        jnp.asarray([np.sqrt(1 - wo_z ** 2), 0.0, wo_z], jnp.float32), (n, 3))
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.random((n, 2), np.float32))
+    bs = _sample_jit(mp, wo, u)
+    f = np.asarray(bs["f"])
+    pdf = np.asarray(bs["pdf"])
+    wi = np.asarray(bs["wi"])
+    ok = pdf > 0
+    contrib = np.where(ok[:, None],
+                       f * np.abs(wi[:, 2:3]) / np.maximum(pdf, 1e-20)[:, None],
+                       0.0)
+    return contrib.mean(axis=0)
+
+
+def test_matte_energy_equals_albedo():
+    kd = (0.7, 0.5, 0.3)
+    r = mc_energy(MAT_MATTE, kd=kd)
+    np.testing.assert_allclose(r, kd, rtol=0.02)
+
+
+def test_mirror_energy_is_one():
+    r = mc_energy(MAT_MIRROR)
+    np.testing.assert_allclose(r, 1.0, rtol=1e-5)
+
+
+def test_glass_radiance_scaling():
+    # kr = kt = 1: E[f cos/pdf] = F + (1-F)/eta^2 — transmitted radiance
+    # compresses by 1/eta^2 entering the denser medium (radiance-mode
+    # scaling, ref fresnel.rs:200-207); energy conserves over a round trip.
+    eta = 1.5
+    wo_z = 0.6
+    r = mc_energy(MAT_GLASS, wo_z=wo_z, kd=(1, 1, 1), ks=(1, 1, 1),
+                  eta=(eta, eta, eta))
+    import jax.numpy as jnp
+    from pathtracer_tpu.ops.bsdf import fr_dielectric
+    fr = float(fr_dielectric(jnp.asarray([wo_z]), jnp.asarray([1.0]),
+                             jnp.asarray([eta]))[0])
+    expected = fr + (1.0 - fr) / (eta * eta)
+    np.testing.assert_allclose(r, expected, rtol=0.02)
+
+
+def test_metal_white_furnace_bounded():
+    # perfect reflector (fresnel<=1): energy must not exceed 1
+    r = mc_energy(MAT_METAL, ks=(1, 1, 1), eta=(0.2, 0.2, 0.2),
+                  k=(3.9, 3.9, 3.9), rough=(0.25, 0.25))
+    assert (r <= 1.02).all()
+    assert (r > 0.5).all()  # shiny metal reflects most energy
+
+
+def test_substrate_energy_bounded():
+    r = mc_energy(MAT_SUBSTRATE, kd=(0.5, 0.5, 0.5), ks=(0.04, 0.04, 0.04),
+                  rough=(0.1, 0.1))
+    assert (r <= 1.02).all() and (r > 0.2).all()
+
+
+def test_disney_energy_bounded():
+    r = mc_energy(MAT_DISNEY, kd=(0.8, 0.4, 0.2), eta=(1.5, 0, 0),
+                  misc=(0.3, 0.4, 0.0, 0.0))
+    assert (r <= 1.05).all() and (r > 0.1).all()
+
+
+def test_sample_eval_pdf_consistency():
+    """For sampled directions of non-specular materials, eval_f_pdf must
+    reproduce the sampled pdf and f (single-lobe materials)."""
+    for mtype, kw in [(MAT_MATTE, dict(kd=(0.6, 0.6, 0.6))),
+                      (MAT_METAL, dict(ks=(1, 1, 1), eta=(0.2,) * 3,
+                                       k=(3.9,) * 3, rough=(0.3, 0.3))),
+                      (MAT_SUBSTRATE, dict(kd=(0.5,) * 3, ks=(0.04,) * 3,
+                                           rough=(0.2, 0.2)))]:
+        n = 512
+        mp = make_params(mtype, n, **kw)
+        wo = jnp.broadcast_to(jnp.asarray([0.3, 0.2, 0.93], jnp.float32),
+                              (n, 3))
+        wo = wo / jnp.linalg.norm(wo, axis=-1, keepdims=True)
+        rng = np.random.default_rng(11)
+        u = jnp.asarray(rng.random((n, 2), np.float32))
+        bs = _sample_jit(mp, wo, u)
+        reflect = jnp.asarray(np.asarray(bs["wi"])[:, 2] *
+                              np.asarray(wo)[:, 2] > 0)
+        f2, pdf2 = bx.eval_f_pdf(mp, wo, bs["wi"], reflect)
+        ok = np.asarray(bs["pdf"]) > 0
+        np.testing.assert_allclose(np.asarray(pdf2)[ok],
+                                   np.asarray(bs["pdf"])[ok],
+                                   rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(f2)[ok],
+                                   np.asarray(bs["f"])[ok],
+                                   rtol=2e-3, atol=1e-6)
+
+
+def test_fr_dielectric_limits():
+    # normal incidence: F = ((n-1)/(n+1))^2; grazing: F → 1
+    f0 = float(bx.fr_dielectric(jnp.asarray([1.0]), jnp.asarray([1.0]),
+                                jnp.asarray([1.5]))[0])
+    assert abs(f0 - 0.04) < 0.001
+    fg = float(bx.fr_dielectric(jnp.asarray([0.01]), jnp.asarray([1.0]),
+                                jnp.asarray([1.5]))[0])
+    assert fg > 0.9
+    # from inside beyond critical angle: total internal reflection
+    tir = float(bx.fr_dielectric(jnp.asarray([-0.3]), jnp.asarray([1.0]),
+                                 jnp.asarray([1.5]))[0])
+    assert tir == 1.0

@@ -1,0 +1,74 @@
+"""BVH-vs-brute-force equality on random ray sets (SURVEY §4)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pathtracer_tpu.accel.bvh import build_bvh, bvh_intersect
+from pathtracer_tpu.integrator import TracedScene
+from pathtracer_tpu.ops.intersect import intersect_brute, intersect_p_brute
+from pathtracer_tpu.scene.mitsuba import load_mitsuba
+
+
+@pytest.fixture(scope="module")
+def cornell_bvh():
+    _, sd, _ = load_mitsuba("data/cornell-box.xml", resolution=(32, 32))
+    return TracedScene.create(sd, use_bvh=True)
+
+
+def _random_rays(n, seed=0):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-0.9, 0.9, (n, 3)).astype(np.float32)
+    o[:, 1] += 1.0  # inside the box
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_bvh_closest_matches_brute(cornell_bvh):
+    ts = cornell_bvh
+    n = 2048
+    o, d = _random_rays(n)
+    tmax = jnp.full(n, np.inf, jnp.float32)
+    hb = intersect_brute(o, d, tmax, ts.data.p0, ts.data.p1, ts.data.p2)
+    hv = bvh_intersect(ts.bvh, ts.data.p0, ts.data.p1, ts.data.p2, o, d, tmax)
+    np.testing.assert_array_equal(np.asarray(hb["valid"]),
+                                  np.asarray(hv["valid"]))
+    both = np.asarray(hb["valid"])
+    np.testing.assert_allclose(np.asarray(hb["t"])[both],
+                               np.asarray(hv["t"])[both], rtol=0, atol=0)
+    # triangle ids may differ only on exact-t ties (coplanar shared edges)
+    tri_agree = (np.asarray(hb["tri"])[both] ==
+                 np.asarray(hv["tri"])[both]).mean()
+    assert tri_agree > 0.99
+
+
+def test_bvh_any_hit_matches_brute(cornell_bvh):
+    ts = cornell_bvh
+    n = 1024
+    o, d = _random_rays(n, seed=5)
+    tmax = jnp.full(n, 1.5, jnp.float32)
+    pb = intersect_p_brute(o, d, tmax, ts.data.p0, ts.data.p1, ts.data.p2)
+    pv = bvh_intersect(ts.bvh, ts.data.p0, ts.data.p1, ts.data.p2, o, d,
+                       tmax, any_hit=True)
+    np.testing.assert_array_equal(np.asarray(pb), np.asarray(pv))
+
+
+def test_bvh_build_structure():
+    rng = np.random.default_rng(1)
+    f = 500
+    base = rng.uniform(-5, 5, (f, 3)).astype(np.float32)
+    p0 = base
+    p1 = base + rng.normal(0, 0.2, (f, 3)).astype(np.float32)
+    p2 = base + rng.normal(0, 0.2, (f, 3)).astype(np.float32)
+    bvh = build_bvh(p0, p1, p2, max_prims=4)
+    n_prims = np.asarray(bvh.n_prims)
+    offset = np.asarray(bvh.offset)
+    # every triangle appears exactly once across leaves
+    assert sorted(np.asarray(bvh.order).tolist()) == list(range(f))
+    leaves = n_prims > 0
+    assert n_prims[leaves].max() <= 4
+    assert n_prims[leaves].sum() == f
+    # interior offsets point forward (DFS layout)
+    interior = ~leaves
+    assert (offset[interior] > np.nonzero(interior)[0]).all()

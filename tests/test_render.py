@@ -1,0 +1,87 @@
+"""End-to-end render regression + film/light invariants on tiny frames."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pathtracer_tpu.core.film import add_samples, film_new, to_rgb
+from pathtracer_tpu.core.filter import gaussian_filter_table
+from pathtracer_tpu.integrator import PathConfig, PathIntegrator
+from pathtracer_tpu.scene.mitsuba import load_mitsuba
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    return load_mitsuba("data/cornell-box.xml", resolution=(32, 32))
+
+
+def test_film_splat_single_sample():
+    """One sample at a pixel center spreads per the Gaussian table
+    (ref film.rs:60-106 semantics)."""
+    film = film_new(8, 8)
+    table = jnp.asarray(gaussian_filter_table())
+    p = jnp.asarray([[4.5, 4.5]])  # discrete position lands exactly on (4,4)
+    l = jnp.asarray([[2.0, 0.0, 0.0]])
+    film = add_samples(film, p, l, table)
+    f = np.asarray(film)
+    # center pixel gets the largest weight
+    assert f[4, 4, 3] == f[:, :, 3].max() > 0
+    # footprint is 4x4..5x5 for radius 2 at integer-centered sample
+    assert (f[:, :, 3] > 0).sum() <= 25
+    # normalizing returns the original radiance at the center
+    rgb = np.asarray(to_rgb(film))
+    np.testing.assert_allclose(rgb[4, 4], [2.0, 0, 0], rtol=1e-5)
+
+
+def test_cornell_depth0_emitter_only(cornell):
+    cam, scene, _ = cornell
+    film = PathIntegrator(PathConfig(max_depth=0), spp=1).render(cam, scene)
+    rgb = np.asarray(to_rgb(film))
+    lit = rgb.sum(-1) > 0.05
+    # only the ceiling light should be visible: small fraction of pixels
+    assert 0 < lit.sum() < 0.2 * lit.size
+    # emitted color ratio matches ke = (17,12,4)
+    bright = rgb[rgb[..., 0] > 5.0]
+    if len(bright):
+        ratio = bright.mean(0) / np.array([17.0, 12.0, 4.0])
+        assert ratio.std() / ratio.mean() < 0.05
+
+
+def test_cornell_render_statistics(cornell):
+    cam, scene, _ = cornell
+    integ = PathIntegrator(PathConfig(max_depth=3), spp=4)
+    film = integ.render(cam, scene)
+    rgb = np.asarray(to_rgb(film))
+    assert np.isfinite(rgb).all()
+    mean = rgb.reshape(-1, 3).mean(0)
+    # cornell under (17,12,4) light: warm average, nothing blown out
+    assert 0.05 < mean[0] < 2.0
+    assert mean[0] > mean[2]  # red-heavy light
+    # left third redder than right third (red vs green walls)
+    left = rgb[:, :10].reshape(-1, 3).mean(0)
+    right = rgb[:, -10:].reshape(-1, 3).mean(0)
+    assert left[0] / max(left[1], 1e-6) > right[0] / max(right[1], 1e-6)
+    assert integ.last_ray_count > 0
+
+
+def test_cornell_deterministic(cornell):
+    cam, scene, _ = cornell
+    cfg = PathConfig(max_depth=2)
+    f1 = PathIntegrator(cfg, spp=2).render(cam, scene)
+    f2 = PathIntegrator(cfg, spp=2).render(cam, scene)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+
+
+def test_sharded_matches_single(cornell):
+    import jax
+    from pathtracer_tpu.parallel.mesh import make_mesh, render_sharded
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    cam, scene, _ = cornell
+    cfg = PathConfig(max_depth=2)
+    f1 = PathIntegrator(cfg, spp=1).render(cam, scene)
+    f8 = render_sharded(cam, scene, make_mesh(len(jax.devices())), cfg, spp=1)
+    # identical samples; only filter-splat accumulation order differs at
+    # band boundaries → last-ulp tolerance
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f8),
+                               rtol=0, atol=2e-5)
