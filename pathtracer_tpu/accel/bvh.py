@@ -66,8 +66,23 @@ jax.tree_util.register_pytree_node(
 
 
 def build_bvh(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
-              max_prims: int = 4) -> BVHArrays:
-    """12-bucket SAH build over triangle bounds (host, numpy)."""
+              max_prims: int = 4, native: bool | None = None) -> BVHArrays:
+    """12-bucket SAH build over triangle bounds (host).
+
+    Uses the C++ builder (accel/cpp) when available — required for
+    Sponza-scale meshes; falls back to the numpy reference implementation.
+    """
+    if native is None:
+        native = len(p0) > 20_000
+    if native:
+        from . import cpp
+        if cpp.available():
+            bmin, bmax, off, npr, ax, order = cpp.build(
+                np.asarray(p0), np.asarray(p1), np.asarray(p2), max_prims)
+            return BVHArrays(
+                bounds_min=jnp.asarray(bmin), bounds_max=jnp.asarray(bmax),
+                offset=jnp.asarray(off), n_prims=jnp.asarray(npr),
+                axis=jnp.asarray(ax), order=order, max_leaf=max_prims)
     f = len(p0)
     lo = np.minimum(np.minimum(p0, p1), p2).astype(np.float32)
     hi = np.maximum(np.maximum(p0, p1), p2).astype(np.float32)

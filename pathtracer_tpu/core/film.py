@@ -85,77 +85,80 @@ FILM_PAD = 4  # padded border: filter radius 2 (sample bounds) + 2 (splat)
 
 
 def film_pad_new(width: int, height: int, extra_rows: int = 0) -> jnp.ndarray:
-    """Padded film accumulator: origin shifted by FILM_PAD on each side.
+    """Padded film accumulator, channel-first (4, H+pad, W+pad).
 
-    Out-of-film splat targets land in the border and are cropped at the end
-    (matches the reference dropping off-film tile pixels at merge,
-    film.rs:193-211 intersect with pixel_bounds). ``extra_rows`` leaves
-    room for the last row band's zero-weight padding rows.
+    Channel-first keeps the wide W axis in the TPU lane dimension (a
+    trailing size-4 channel axis would pad every lane tile 32x). Out-of-film
+    splat targets land in the border and are cropped at the end (matches the
+    reference dropping off-film tile pixels at merge, film.rs:193-211).
+    ``extra_rows`` leaves room for the last row band's zero-weight padding.
     """
-    return jnp.zeros((height + 2 * FILM_PAD + extra_rows,
-                      width + 2 * FILM_PAD, 4), jnp.float32)
+    return jnp.zeros((4, height + 2 * FILM_PAD + extra_rows,
+                      width + 2 * FILM_PAD), jnp.float32)
 
 
 def film_crop(film_pad: jnp.ndarray, width: int, height: int) -> jnp.ndarray:
-    return film_pad[FILM_PAD:FILM_PAD + height, FILM_PAD:FILM_PAD + width]
+    """(4, Hp, Wp) padded accumulator → (H, W, 4) public film layout."""
+    return jnp.transpose(
+        film_pad[:, FILM_PAD:FILM_PAD + height, FILM_PAD:FILM_PAD + width],
+        (1, 2, 0))
 
 
-def splat_tile(radiance, jx, jy, valid, filter_table, radius: float = 2.0):
+def _filter_1d_lookup(fi, f1d):
+    """Piecewise-constant filter value by 16-way select (no gather)."""
+    w = jnp.zeros_like(fi, jnp.float32)
+    for k in range(FILTER_TABLE_WIDTH):
+        w = jnp.where(fi == k, np.float32(f1d[k]), w)
+    return w
+
+
+def splat_tile(radiance, jx, jy, valid, filter_f1d, radius: float = 2.0):
     """Dense tile splat: one sample per pixel of a (Th, Tw) band.
 
-    radiance: (Th, Tw, 3); jx, jy: (Th, Tw) jitters in [0,1); valid: (Th,
-    Tw) bool. Returns a (Th+4, Tw+4, 4) tile: 25 shifted dense adds replace
-    the reference's per-sample scatter loop (film.rs:60-106) — same filter
-    weights (16-entry table, floor-indexed), no scatter hardware needed.
+    radiance: (Th, Tw, 3); jx, jy: (Th, Tw) jitters in [0,1); valid:
+    (Th, Tw) bool; filter_f1d: host (16,) separable filter row (the 2D
+    table is its outer product). Returns a (4, Th+4, Tw+4) channel-first
+    tile: 25 statically-shifted dense adds replace the reference's
+    per-sample scatter loop (film.rs:60-106) with identical weights.
     """
     th, tw = radiance.shape[:2]
     f32 = jnp.float32
-    tile = jnp.zeros((th + 4, tw + 4, 4), f32)
+    tile = jnp.zeros((4, th + 4, tw + 4), f32)
     inv_r = 1.0 / radius
-    table = filter_table  # (16, 16)
 
-    # per-axis offsets from the discrete sample position: x - pd = dx-jx+0.5
-    offs = []
-    for dx in range(-2, 3):
-        off = dx - jx + 0.5
+    def axis_weights(j, d):
+        off = d - j + 0.5
         fi = jnp.minimum(
-            jnp.floor(jnp.abs(off) * inv_r * FILTER_TABLE_WIDTH).astype(jnp.int32),
+            jnp.floor(jnp.abs(off) * inv_r * FILTER_TABLE_WIDTH)
+            .astype(jnp.int32),
             FILTER_TABLE_WIDTH - 1)
-        offs.append((off, fi))
-    offs_y = []
-    for dy in range(-2, 3):
-        off = dy - jy + 0.5
-        fi = jnp.minimum(
-            jnp.floor(jnp.abs(off) * inv_r * FILTER_TABLE_WIDTH).astype(jnp.int32),
-            FILTER_TABLE_WIDTH - 1)
-        offs_y.append((off, fi))
+        w = _filter_1d_lookup(fi, filter_f1d)
+        return jnp.where(jnp.abs(off) <= radius, w, 0.0)
 
-    l_ok = jnp.where(valid[..., None], radiance, 0.0)
-    for iy, (offy, fiy) in enumerate(offs_y):
-        wy_ok = (jnp.abs(offy) <= radius) & valid
-        for ix, (offx, fix) in enumerate(offs):
-            w = table[fiy, fix]  # (Th, Tw) gather from 256-entry table
-            ok = wy_ok & (jnp.abs(offx) <= radius)
-            w = jnp.where(ok, w, 0.0)
-            update = jnp.concatenate([l_ok * w[..., None], w[..., None]],
-                                     axis=-1)
-            tile = jax.lax.dynamic_update_slice(
-                tile,
-                jax.lax.dynamic_slice(tile, (iy, ix, 0), (th, tw, 4)) + update,
-                (iy, ix, 0))
+    wx = [axis_weights(jx, dx) for dx in range(-2, 3)]
+    wy = [axis_weights(jy, dy) for dy in range(-2, 3)]
+
+    l_ok = jnp.where(valid[None, ...],
+                     jnp.transpose(radiance, (2, 0, 1)), 0.0)  # (3, Th, Tw)
+    vmask = valid.astype(f32)
+    for iy in range(5):
+        for ix in range(5):
+            w = wy[iy] * wx[ix] * vmask  # (Th, Tw)
+            update = jnp.concatenate([l_ok * w[None], w[None]], axis=0)
+            tile = tile.at[:, iy:iy + th, ix:ix + tw].add(update)
     return tile
 
 
 def film_pad_accumulate(film_pad, tile, band_x0: int, band_y0: int):
-    """Add a (Th+4, Tw+4, 4) band tile into the padded film.
+    """Add a (4, Th+4, Tw+4) band tile into the padded film.
 
     band_x0/band_y0: raster coords of the band's first pixel (may be
     negative by the filter radius)."""
     y = band_y0 - 2 + FILM_PAD
     x = band_x0 - 2 + FILM_PAD
-    th, tw = tile.shape[0], tile.shape[1]
-    cur = jax.lax.dynamic_slice(film_pad, (y, x, 0), (th, tw, 4))
-    return jax.lax.dynamic_update_slice(film_pad, cur + tile, (y, x, 0))
+    th, tw = tile.shape[1], tile.shape[2]
+    cur = jax.lax.dynamic_slice(film_pad, (0, y, x), (4, th, tw))
+    return jax.lax.dynamic_update_slice(film_pad, cur + tile, (0, y, x))
 
 
 def to_rgb(film):

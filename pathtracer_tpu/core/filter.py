@@ -29,6 +29,24 @@ def triangle_filter_table(radius: float = 1.0) -> np.ndarray:
     return np.outer(f, f).astype(np.float32)
 
 
+def filter_f1d(kind: str = "gaussian", radius: float | None = None):
+    """(16,) separable 1-D filter row; the 2-D table is its outer product."""
+    if kind == "gaussian":
+        r = 2.0 if radius is None else radius
+        alpha = 2.0
+        expv = np.exp(-alpha * r * r)
+        d = (np.arange(FILTER_TABLE_WIDTH, dtype=np.float32) + 0.5) * r \
+            / FILTER_TABLE_WIDTH
+        return np.maximum(0.0, np.exp(-alpha * d * d) - expv) \
+            .astype(np.float32), r
+    if kind == "triangle":
+        r = 1.0 if radius is None else radius
+        d = (np.arange(FILTER_TABLE_WIDTH, dtype=np.float32) + 0.5) * r \
+            / FILTER_TABLE_WIDTH
+        return np.maximum(0.0, r - np.abs(d)).astype(np.float32), r
+    raise ValueError(f"unknown filter kind: {kind}")
+
+
 def make_filter(kind: str = "gaussian", radius: float | None = None):
     """Returns (table (16,16) float32, radius float)."""
     if kind == "gaussian":

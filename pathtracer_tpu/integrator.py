@@ -35,7 +35,7 @@ from .core import math as pm
 from .core.camera import Camera, generate_rays
 from .core.film import (FILM_PAD, film_crop, film_pad_accumulate,
                         film_pad_new, sample_bounds, splat_tile)
-from .core.filter import make_filter
+from .core.filter import filter_f1d as make_filter_f1d, make_filter
 from .ops import bsdf as bx
 from .ops import interaction as ia
 from .ops import lights as lt
@@ -60,6 +60,7 @@ class PathConfig:
     rr_start_depth: int = 3
     rr_enable: bool = True
     sanitize: bool = True  # zero non-finite radiance instead of logging
+    sampler: str = "sobol"  # "sobol" | "stratified" | "random"
 
 
 def _scene_intersect(scene, o, d, t_max):
@@ -67,6 +68,10 @@ def _scene_intersect(scene, o, d, t_max):
         from .accel.bvh import bvh_intersect
         return bvh_intersect(scene.bvh, scene.data.p0, scene.data.p1,
                              scene.data.p2, o, d, t_max)
+    if scene.use_pallas:
+        from .ops.pallas.intersect_pl import intersect_pallas, pack_triangles
+        pack = pack_triangles(scene.data.p0, scene.data.p1, scene.data.p2)
+        return intersect_pallas(o, d, t_max, pack)
     return intersect_brute(o, d, t_max, scene.data.p0, scene.data.p1,
                            scene.data.p2)
 
@@ -76,39 +81,52 @@ def _scene_intersect_p(scene, o, d, t_max):
         from .accel.bvh import bvh_intersect
         return bvh_intersect(scene.bvh, scene.data.p0, scene.data.p1,
                              scene.data.p2, o, d, t_max, any_hit=True)
+    if scene.use_pallas:
+        from .ops.pallas.intersect_pl import intersect_pallas, pack_triangles
+        pack = pack_triangles(scene.data.p0, scene.data.p1, scene.data.p2)
+        return intersect_pallas(o, d, t_max, pack, any_hit=True)
     return intersect_p_brute(o, d, t_max, scene.data.p0, scene.data.p1,
                              scene.data.p2)
 
 
 @dataclasses.dataclass(frozen=True)
 class TracedScene:
-    """SceneData plus an optional BVH, as one pytree-ish handle."""
+    """SceneData plus an optional BVH, as one pytree-ish handle.
+
+    use_pallas routes brute-force intersection through the Pallas kernel
+    (TPU backends only; the XLA fallback serves CPU tests).
+    """
 
     data: "SceneData"  # noqa: F821
     bvh: "BVHArrays | None" = None  # noqa: F821
+    use_pallas: bool = False
 
     @staticmethod
     def create(scene_data, use_bvh: bool | None = None,
-               max_leaf: int = 4) -> "TracedScene":
+               max_leaf: int = 4,
+               use_pallas: bool | None = None) -> "TracedScene":
         import numpy as _np
         f = int(scene_data.p0.shape[0])
         if use_bvh is None:
-            use_bvh = f > 128  # brute force wins for tiny scenes
+            # pallas brute force beats stack traversal until scenes get big
+            use_bvh = f > 2048
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
         if not use_bvh:
-            return TracedScene(scene_data, None)
+            return TracedScene(scene_data, None, use_pallas)
         from .accel.bvh import build_bvh
         from .scene.scene import reorder_triangles
         bvh = build_bvh(_np.asarray(scene_data.p0),
                         _np.asarray(scene_data.p1),
                         _np.asarray(scene_data.p2), max_leaf)
         data = reorder_triangles(scene_data, bvh.order)
-        return TracedScene(data, bvh)
+        return TracedScene(data, bvh, use_pallas)
 
 
 jax.tree_util.register_pytree_node(
     TracedScene,
-    lambda s: ((s.data, s.bvh), None),
-    lambda aux, kids: TracedScene(kids[0], kids[1]),
+    lambda s: ((s.data, s.bvh), s.use_pallas),
+    lambda aux, kids: TracedScene(kids[0], kids[1], aux),
 )
 
 
@@ -186,11 +204,13 @@ def estimate_direct(scene, cfg, it, mp, u_scatt, u_light, light_idx,
     return ld
 
 
-def trace_wave(scene, cfg: PathConfig, sobol_pack, o, d, bits52, scramble):
+def trace_wave(scene, cfg: PathConfig, draw, draw2, o, d):
     """Trace one wavefront of rays to completion; returns (L (N,3), rays).
 
-    Dead lanes are masked; the loop exits when every lane is dead or the
-    depth cap is reached (ref li(), :392-503).
+    draw(dim) / draw2(dim) produce one/two sampler dimensions for the whole
+    wave (closures over the sampler state built in render_band). Dead lanes
+    are masked; the loop exits when every lane is dead or the depth cap is
+    reached (ref li(), :392-503).
     """
     sd = scene.data
     n = o.shape[0]
@@ -237,12 +257,9 @@ def trace_wave(scene, cfg: PathConfig, sobol_pack, o, d, bits52, scramble):
 
         # --- NEE (:443-447) for materials with non-specular lobes
         nonspec = bx.has_nonspecular(mp["mtype"]) & cont
-        u_light = sb.sobol_sample_dim2(bits52, dim_base + DIM_U_LIGHT,
-                                       scramble, sobol_pack)
-        u_scatt = sb.sobol_sample_dim2(bits52, dim_base + DIM_U_SCATTER,
-                                       scramble, sobol_pack)
-        u_pick = sb.sobol_sample_dim(bits52, dim_base + DIM_LIGHT_PICK,
-                                     scramble, sobol_pack)
+        u_light = draw2(dim_base + DIM_U_LIGHT)
+        u_scatt = draw2(dim_base + DIM_U_SCATTER)
+        u_pick = draw(dim_base + DIM_LIGHT_PICK)
         n_l = sd.n_lights.astype(f32)
         light_idx = jnp.minimum((u_pick * n_l).astype(jnp.int32),
                                 sd.n_lights - 1)
@@ -252,8 +269,7 @@ def trace_wave(scene, cfg: PathConfig, sobol_pack, o, d, bits52, scramble):
         rays = rays + 2.0 * jnp.sum(nonspec.astype(f32))  # shadow + MIS
 
         # --- BSDF sampling for the next bounce (:449-468)
-        u_bsdf = sb.sobol_sample_dim2(bits52, dim_base + DIM_BSDF,
-                                      scramble, sobol_pack)
+        u_bsdf = draw2(dim_base + DIM_BSDF)
         wo_l = _to_local(it, wo)
         bs = bx.sample_f(
             mp, wo_l, u_bsdf,
@@ -285,8 +301,7 @@ def trace_wave(scene, cfg: PathConfig, sobol_pack, o, d, bits52, scramble):
             rr_beta_max = jnp.max(beta * eta_scale[..., None], axis=-1)
             rr_gate = cont2 & (rr_beta_max < cfg.rr_threshold) & \
                 (st["bounces"] > cfg.rr_start_depth)
-            u_rr = sb.sobol_sample_dim(bits52, dim_base + DIM_RR, scramble,
-                                       sobol_pack)
+            u_rr = draw(dim_base + DIM_RR)
             q = jnp.maximum(0.05, 1.0 - rr_beta_max)
             rr_kill = rr_gate & (u_rr < q)
             beta = jnp.where((rr_gate & ~rr_kill)[..., None],
@@ -305,17 +320,20 @@ def trace_wave(scene, cfg: PathConfig, sobol_pack, o, d, bits52, scramble):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "spp", "band_shape"))
+                   static_argnames=("cfg", "spp", "band_shape", "filter_f1d",
+                                    "total_spp_log2"))
 def render_band(scene, cfg: PathConfig, spp: int, band_shape: tuple[int, int],
                 valid_lanes, film_pad, band_x0, band_y0, px, py, b_base,
-                scramble, frame_lo, frame_hi, frame_delta, inv_lo, inv_hi,
-                r2c, cam_rot, cam_pos, filter_table, sobol_pack, sobol_scale,
-                sobol_off_x, sobol_off_y):
-    """Render `spp` Sobol samples for one row band into the padded film.
+                scramble, frame_lo, frame_hi, frame_delta, frame_base,
+                inv_lo, inv_hi, r2c, cam_rot, cam_pos, filter_f1d,
+                sobol_pack, sobol_scale, sobol_off_x, sobol_off_y,
+                total_spp_log2: int = 0):
+    """Render `spp` sampler frames for one row band into the padded film.
 
     band_shape = (Th, Tw); px/py: (Th*Tw,) absolute pixel coords;
     valid_lanes: (Th*Tw,) bool (padding rows are zero-weight). frame_*:
-    (spp,) host Sobol constants per sample index.
+    (spp,) host Sobol constants per sample index; frame_base: global index
+    of the chunk's first frame (stratified/random samplers).
     """
     th, tw = band_shape
     pxf = px.astype(jnp.float32)
@@ -324,22 +342,49 @@ def render_band(scene, cfg: PathConfig, spp: int, band_shape: tuple[int, int],
 
     def per_frame(s, carry):
         film_pad, rays_total = carry
-        idx_lo, idx_hi = sb.sobol_index(
-            b_base, frame_delta[s], frame_lo[s], frame_hi[s], inv_lo, inv_hi)
-        bits52 = sb.index_bits52(idx_lo, idx_hi)
-        # camera sample: dims 0,1 remapped into the pixel (sobol.rs:116-120)
-        s01 = sb.sobol_sample_dim2(bits52, 0, scramble, sobol_pack)
-        jx = jnp.clip(s01[..., 0] * sobol_scale + sobol_off_x - pxf,
-                      0.0, pm.ONE_MINUS_EPSILON)
-        jy = jnp.clip(s01[..., 1] * sobol_scale + sobol_off_y - pyf,
-                      0.0, pm.ONE_MINUS_EPSILON)
+        if cfg.sampler == "sobol":
+            idx_lo, idx_hi = sb.sobol_index(
+                b_base, frame_delta[s], frame_lo[s], frame_hi[s],
+                inv_lo, inv_hi)
+            bits52 = sb.index_bits52(idx_lo, idx_hi)
+            draw = lambda dim: sb.sobol_sample_dim(
+                bits52, dim, scramble, sobol_pack)
+            draw2 = lambda dim: sb.sobol_sample_dim2(
+                bits52, dim, scramble, sobol_pack)
+            # camera: dims 0,1 remapped into the pixel. DEVIATION: drawn
+            # UNSCRAMBLED — the interval-to-index property (each pixel's
+            # indices land in its own cell) only holds for the raw
+            # sequence; the reference XORs its cantor scramble into dims
+            # 0/1 too (sampler/sobol.rs:185-192), which defeats the remap
+            # and collapses most camera jitters to the clamp bounds.
+            # PBRT's SobolSampler leaves dims 0/1 unscrambled.
+            s01 = sb.sobol_sample_dim2(bits52, 0,
+                                       jnp.zeros_like(scramble), sobol_pack)
+            jx = jnp.clip(s01[..., 0] * sobol_scale + sobol_off_x - pxf,
+                          0.0, pm.ONE_MINUS_EPSILON)
+            jy = jnp.clip(s01[..., 1] * sobol_scale + sobol_off_y - pyf,
+                          0.0, pm.ONE_MINUS_EPSILON)
+        else:
+            from .ops import samplers as smp
+            frame = frame_base + s
+            pixel_hash = smp.hash_combine(px.astype(jnp.uint32),
+                                          smp.hash_u32(py.astype(jnp.uint32)))
+            if cfg.sampler == "stratified":
+                draw = lambda dim: smp.stratified_sample_dim(
+                    pixel_hash, frame, total_spp_log2, dim)
+            else:
+                draw = lambda dim: smp.random_sample_dim(
+                    pixel_hash, frame, dim)
+            draw2 = lambda dim: jnp.stack([draw(dim), draw(dim + 1)],
+                                          axis=-1)
+            jx = draw(0)
+            jy = draw(1)
         p_film = jnp.stack([pxf + jx, pyf + jy], axis=-1)
         o, d = generate_rays(r2c, cam_rot, cam_pos, p_film)
-        radiance, rays = trace_wave(scene, cfg, sobol_pack, o, d, bits52,
-                                    scramble)
+        radiance, rays = trace_wave(scene, cfg, draw, draw2, o, d)
         tile = splat_tile(radiance.reshape(th, tw, 3),
                           jx.reshape(th, tw), jy.reshape(th, tw),
-                          valid, filter_table)
+                          valid, filter_f1d)
         film_pad = film_pad_accumulate(film_pad, tile, band_x0, band_y0)
         return film_pad, rays_total + rays
 
@@ -358,6 +403,8 @@ class PathIntegrator:
         self.cfg = cfg
         self.spp = pm.round_up_pow2(spp)
         self.filter_table, self.filter_radius = make_filter(filter_kind)
+        f1d, _ = make_filter_f1d(filter_kind)
+        self.filter_f1d = tuple(float(v) for v in f1d)
         self.band_rows = band_rows
         self.last_ray_count = 0.0
 
@@ -386,14 +433,15 @@ class PathIntegrator:
         ws, hs = x1 - x0, y1 - y0
         domain = sb.SobolDomain.create((x0, y0), (x1, y1), self.spp)
 
-        band = self.band_rows or max(1, (1 << 16) // ws)
+        band = self.band_rows or max(1, (1 << 17) // ws)
+        band = min(band, hs)
         n_bands = -(-hs // band)
         chunk = pm.round_up_pow2(min(chunk_spp or self.spp, self.spp))
 
         inv_lo, inv_hi = sb.vdc_inv_rows(domain)
         sobol_pack = sb.sm32_device()
         r2c, cam_rot, cam_pos = camera.ray_params()
-        ft = jnp.asarray(self.filter_table)
+        ft = self.filter_f1d
 
         film_pad = film_pad_new(w, h, extra_rows=band)
         s_start = 0
@@ -431,10 +479,12 @@ class PathIntegrator:
                     scene, self.cfg, n_frames, (band, ws), valid, film_pad,
                     jnp.int32(x0), jnp.int32(by0), px, py, b_base, scramble,
                     jnp.asarray(frame_lo), jnp.asarray(frame_hi),
-                    jnp.asarray(frame_delta), inv_lo, inv_hi, r2c, cam_rot,
-                    cam_pos, ft, sobol_pack, jnp.float32(domain.resolution),
+                    jnp.asarray(frame_delta), jnp.int32(s0), inv_lo, inv_hi,
+                    r2c, cam_rot, cam_pos, ft, sobol_pack,
+                    jnp.float32(domain.resolution),
                     jnp.float32(domain.p_min[0]),
-                    jnp.float32(domain.p_min[1]))
+                    jnp.float32(domain.p_min[1]),
+                    total_spp_log2=pm.log2_int(self.spp))
                 self.last_ray_count += float(rays)
             if callback is not None:
                 callback(film_crop(film_pad, w, h), s0 + n_frames)

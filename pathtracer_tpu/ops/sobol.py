@@ -169,18 +169,34 @@ def sobol_sample(idx_lo, idx_hi, dim, scramble, sm32):
 
 
 def index_bits52(idx_lo, idx_hi):
-    """Precompute the (N, 52) {0,1} bit expansion of a wave's sample index.
+    """Precompute the (52, N) {0,1} bit expansion of a wave's sample index.
 
-    The index is constant per wave; expanding once lets every subsequent
-    dimension evaluation be a dense select+XOR-tree with no gathers.
+    Bit-major layout keeps the wide ray axis in the TPU lane dimension (a
+    trailing 52 axis would pad every lane tile to 128). The index is
+    constant per wave; expanding once lets every subsequent dimension
+    evaluation be a dense select + XOR tree with no gathers.
     """
-    return _index_bits(idx_lo, idx_hi)
+    sh_lo = jnp.arange(32, dtype=jnp.uint32)[:, None]
+    sh_hi = jnp.arange(20, dtype=jnp.uint32)[:, None]
+    bits_lo = (idx_lo[None, :] >> sh_lo) & jnp.uint32(1)
+    bits_hi = (idx_hi[None, :] >> sh_hi) & jnp.uint32(1)
+    return jnp.concatenate([bits_lo, bits_hi], axis=0)
+
+
+def _xor_tree_axis0(vals):
+    """XOR-reduce (52, N) uint32 along axis 0 via a log tree."""
+    pad = jnp.zeros((12,) + vals.shape[1:], vals.dtype)
+    v = jnp.concatenate([vals, pad], axis=0)  # (64, N)
+    for _ in range(6):
+        half = v.shape[0] // 2
+        v = jnp.bitwise_xor(v[:half], v[half:])
+    return v[0]
 
 
 def sobol_sample_dim(bits52, dim, scramble, sm32):
     """Sobol value for ONE dimension shared by the whole wave.
 
-    bits52: (N, 52) from index_bits52; dim: scalar (may be traced); sm32:
+    bits52: (52, N) from index_bits52; dim: scalar (may be traced); sm32:
     (1024, 52). Unlike ``sobol_sample`` (per-ray dims, row gather), this is
     a dense slice + select — the wavefront integrator allocates static
     per-bounce dimension slots so dims never diverge across rays
@@ -188,7 +204,7 @@ def sobol_sample_dim(bits52, dim, scramble, sm32):
     sampler/sobol.rs:129-151; the sequence is still a valid Sobol LDS).
     """
     row = jax.lax.dynamic_slice(sm32, (dim, 0), (1, SOBOL_MATRIX_SIZE))[0]
-    v = _xor_reduce_52(jnp.where(bits52 == 1, row, jnp.uint32(0)))
+    v = _xor_tree_axis0(jnp.where(bits52 == 1, row[:, None], jnp.uint32(0)))
     v = v ^ scramble
     return jnp.minimum(ONE_MINUS_EPSILON, v.astype(jnp.float32) * INV_2_POW_32)
 
@@ -196,9 +212,11 @@ def sobol_sample_dim(bits52, dim, scramble, sm32):
 def sobol_sample_dim2(bits52, dim, scramble, sm32):
     """Two consecutive dimensions at once → (N, 2)."""
     rows = jax.lax.dynamic_slice(sm32, (dim, 0), (2, SOBOL_MATRIX_SIZE))
-    v = _xor_reduce_52(jnp.where(bits52[..., None, :] == 1, rows,
-                                 jnp.uint32(0)))
-    v = v ^ scramble[..., None]
+    v0 = _xor_tree_axis0(jnp.where(bits52 == 1, rows[0][:, None],
+                                   jnp.uint32(0)))
+    v1 = _xor_tree_axis0(jnp.where(bits52 == 1, rows[1][:, None],
+                                   jnp.uint32(0)))
+    v = jnp.stack([v0 ^ scramble, v1 ^ scramble], axis=-1)
     return jnp.minimum(ONE_MINUS_EPSILON,
                        v.astype(jnp.float32) * INV_2_POW_32)
 

@@ -21,7 +21,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core import math as pm
 from ..core.film import film_crop, film_pad_new, sample_bounds
-from ..core.filter import make_filter
+from ..core.filter import filter_f1d as make_filter_f1d, make_filter
 from ..integrator import PathConfig, TracedScene, render_band
 from ..ops import sobol as sb
 
@@ -42,7 +42,8 @@ def render_sharded(camera, scene, mesh: Mesh, cfg: PathConfig = PathConfig(),
     if not isinstance(scene, TracedScene):
         scene = TracedScene.create(scene)
     w, h = camera.resolution
-    filter_table, radius = make_filter(filter_kind)
+    f1d, radius = make_filter_f1d(filter_kind)
+    f1d = tuple(float(v) for v in f1d)
     spp = pm.round_up_pow2(spp)
     (x0, y0), (x1, y1) = sample_bounds(w, h, radius)
     ws, hs = x1 - x0, y1 - y0
@@ -75,7 +76,7 @@ def render_sharded(camera, scene, mesh: Mesh, cfg: PathConfig = PathConfig(),
     inv_lo, inv_hi = sb.vdc_inv_rows(domain)
     sobol_pack = sb.sm32_device()
     r2c, cam_rot, cam_pos = camera.ray_params()
-    ft = jnp.asarray(filter_table)
+    ft = f1d
 
     # check_vma=False: the wavefront while_loop carry starts with replicated
     # values (camera origin broadcast) that become varying after bounce 1;
@@ -92,9 +93,11 @@ def render_sharded(camera, scene, mesh: Mesh, cfg: PathConfig = PathConfig(),
             scene_rep, cfg, spp, (band, ws), valid_s, film_local,
             jnp.int32(x0), y0_s[0], px_s, py_s, b_base_s, scr_s,
             jnp.asarray(frame_lo), jnp.asarray(frame_hi),
-            jnp.asarray(frame_delta), inv_lo, inv_hi, r2c, cam_rot, cam_pos,
-            ft, sobol_pack, jnp.float32(domain.resolution),
-            jnp.float32(domain.p_min[0]), jnp.float32(domain.p_min[1]))
+            jnp.asarray(frame_delta), jnp.int32(0), inv_lo, inv_hi,
+            r2c, cam_rot, cam_pos, ft, sobol_pack,
+            jnp.float32(domain.resolution),
+            jnp.float32(domain.p_min[0]), jnp.float32(domain.p_min[1]),
+            total_spp_log2=pm.log2_int(spp))
         return jax.lax.psum(film_local, "tiles")
 
     film_pad = shard_render(scene, jnp.asarray(band_y0s), jnp.asarray(px),
