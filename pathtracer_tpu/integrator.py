@@ -252,7 +252,7 @@ def trace_wave(scene, cfg: PathConfig, draw, draw2, o, d):
 
         cont = found & (st["bounces"] < cfg.max_depth)
 
-        mp = bx.gather_params(sd, it["material"])
+        mp = bx.gather_params(sd, it["material"], it["uv"])
         wo = -d
 
         # --- NEE (:443-447) for materials with non-specular lobes

@@ -237,9 +237,50 @@ def tr_pdf(wo, wh, ax, ay):
         jnp.abs(pm.dot(wo, wh)) / jnp.maximum(abs_cos_theta(wo), 1e-20)
 
 
+# ---------------------------------------------------------------- textures
+def eval_texture(scene, txd_id, uv, fallback, width=0.0):
+    """Evaluate a texture descriptor at uv; fallback where txd_id < 0.
+
+    Implements the reference Texture dispatch: ConstantTexture
+    (texture.rs:15-29), CheckerTexture with UVMap (:31-89), ImageTexture
+    via the mip pool (:91-192). Fixed-width trilinear lookup (ray
+    differentials pending; matches lookup_width(st, 0) used for envmaps,
+    light.rs:440).
+    """
+    from ..scene.texture import lookup_width as pool_lookup
+
+    safe = jnp.maximum(txd_id, 0)
+    kind = scene.txd_kind[safe]
+    uvm = scene.txd_uv[safe]
+    st = jnp.stack([uv[..., 0] * uvm[..., 0] + uvm[..., 2],
+                    uv[..., 1] * uvm[..., 1] + uvm[..., 3]], axis=-1)
+
+    const_v = scene.txd_rgb0[safe]
+    parity = (jnp.floor(st[..., 0]) + jnp.floor(st[..., 1])) % 2.0
+    checker_v = jnp.where((parity == 0.0)[..., None],
+                          scene.txd_rgb0[safe], scene.txd_rgb1[safe])
+    img_v = pool_lookup(scene.tex, scene.txd_image[safe], st, width)
+    img_v = jnp.where(scene.txd_srgb[safe][..., None],
+                      pm.inverse_gamma_correct(img_v), img_v)
+    img_v = img_v * scene.txd_scale[safe]
+    ch = scene.txd_channel[safe]
+    ch_v = jnp.take_along_axis(
+        img_v, jnp.maximum(ch, 0)[..., None], axis=-1)
+    img_v = jnp.where((ch >= 0)[..., None],
+                      jnp.broadcast_to(ch_v, img_v.shape), img_v)
+
+    val = jnp.select([(kind == 1)[..., None], (kind == 2)[..., None]],
+                     [checker_v, img_v], const_v)
+    return jnp.where((txd_id >= 0)[..., None], val, fallback)
+
+
 # ---------------------------------------------------------------- materials
-def gather_params(scene, mat_id):
-    """Per-ray material parameter gather from the material table."""
+def gather_params(scene, mat_id, uv=None):
+    """Per-ray material parameter gather from the material table.
+
+    With uv given, texture-bound parameters (kd/ks/metallic/roughness)
+    evaluate their descriptors (compute_scattering_functions texture evals,
+    material/*.rs)."""
     ax_raw = scene.mat_rough[mat_id, 0]
     ay_raw = scene.mat_rough[mat_id, 1]
     remap = scene.mat_remap[mat_id]
@@ -247,19 +288,31 @@ def gather_params(scene, mat_id):
     ay = jnp.where(remap, roughness_to_alpha(ay_raw), ay_raw)
     mtype = scene.mat_type[mat_id]
     # Disney derives its own alphas: max(0.001, roughness^2) (disney.rs:220-222)
+    kd = scene.mat_kd[mat_id]
+    ks = scene.mat_ks[mat_id]
+    metallic = scene.mat_misc[mat_id, 0]
     rough_d = scene.mat_misc[mat_id, 1]
+    if uv is not None:
+        kd = eval_texture(scene, scene.mat_kd_tx[mat_id], uv, kd)
+        ks = eval_texture(scene, scene.mat_ks_tx[mat_id], uv, ks)
+        metallic = eval_texture(
+            scene, scene.mat_metallic_tx[mat_id], uv,
+            metallic[..., None] * jnp.ones(3))[..., 0]
+        rough_d = eval_texture(
+            scene, scene.mat_rough_tx[mat_id], uv,
+            rough_d[..., None] * jnp.ones(3))[..., 0]
     alpha_d = jnp.maximum(0.001, rough_d * rough_d)
     ax = jnp.where(mtype == MAT_DISNEY, alpha_d, jnp.maximum(ax, 0.001))
     ay = jnp.where(mtype == MAT_DISNEY, alpha_d, jnp.maximum(ay, 0.001))
     return dict(
         mtype=mtype,
-        kd=scene.mat_kd[mat_id],
-        ks=scene.mat_ks[mat_id],
+        kd=kd,
+        ks=ks,
         eta3=scene.mat_eta[mat_id],
         eta=scene.mat_eta[mat_id, 0],
         k=scene.mat_k[mat_id],
         ax=ax, ay=ay,
-        metallic=scene.mat_misc[mat_id, 0],
+        metallic=metallic,
     )
 
 

@@ -8,9 +8,10 @@ Mirror, else Disney; emissive ×10 scaling hack with per-triangle area
 lights :391-450; KHR_lights_punctual :465-492; --default_lights envmap
 :550-565; world pre-transformed meshes :332-376).
 
-Texture-mapped material parameters are flattened to their factors this
-round (the packed material table is constant-valued); alpha-mask cutouts
-and image textures land with the texture-atlas subsystem.
+PNG base-color and metallic-roughness textures load into the mip-pyramid
+texture pool (channel-split metallic=B/roughness=G, gltf.rs:99-165);
+other image formats fall back to their factors. Alpha-mask cutouts and
+normal maps are pending.
 """
 
 from __future__ import annotations
@@ -124,7 +125,37 @@ def _quat_to_mat(x, y, z, w):
     ])
 
 
-def _material_row(builder: SceneBuilder, mat: dict) -> int:
+def _load_texture_image(gf: "GLTFFile", tex_index: int):
+    """Decode a glTF texture's image (PNG only) → float array or None."""
+    try:
+        tex = gf.json["textures"][tex_index]
+        img = gf.json["images"][tex["source"]]
+        if "uri" in img and not img["uri"].startswith("data:"):
+            path = os.path.join(gf.dir, img["uri"])
+            if not path.lower().endswith(".png"):
+                return None
+            from ..utils.image import read_png
+            return read_png(path).astype(np.float32) / 255.0
+        if "bufferView" in img:
+            bv = gf.json["bufferViews"][img["bufferView"]]
+            data = gf.buffer(bv["buffer"])
+            blob = data[bv.get("byteOffset", 0):
+                        bv.get("byteOffset", 0) + bv["byteLength"]]
+            if blob[:8] != b"\x89PNG\r\n\x1a\n":
+                return None
+            import tempfile
+            with tempfile.NamedTemporaryFile(suffix=".png") as f:
+                f.write(blob)
+                f.flush()
+                from ..utils.image import read_png
+                return read_png(f.name).astype(np.float32) / 255.0
+    except Exception:  # noqa: BLE001 — unsupported image formats fall back
+        log.warning("unsupported image format for texture %d", tex_index)
+    return None
+
+
+def _material_row(builder: SceneBuilder, mat: dict,
+                  gf: "GLTFFile | None" = None) -> int:
     """Reference material map (pathtracer/importer/gltf.rs:167-289)."""
     pbr = mat.get("pbrMetallicRoughness", {})
     base = pbr.get("baseColorFactor", [1.0, 1.0, 1.0, 1.0])
@@ -147,9 +178,26 @@ def _material_row(builder: SceneBuilder, mat: dict) -> int:
     roughness = pbr.get("roughnessFactor", 1.0)
     if metallic == 1.0 and roughness == 0.0:
         return builder.add_material(mtype=MAT_MIRROR)
+    kd_tx = metallic_tx = rough_tx = -1
+    if gf is not None and "baseColorTexture" in pbr:
+        img = _load_texture_image(gf, pbr["baseColorTexture"]["index"])
+        if img is not None:
+            # scale by the (sRGB-decoded) color factor (gltf.rs:167-181)
+            kd_tx = builder.add_texture_image(
+                img[..., :3], scale=tuple(color), srgb=True)
+    if gf is not None and "metallicRoughnessTexture" in pbr:
+        img = _load_texture_image(
+            gf, pbr["metallicRoughnessTexture"]["index"])
+        if img is not None:
+            # channel split: metallic=B, roughness=G (gltf.rs:99-165)
+            metallic_tx = builder.add_texture_image(
+                img[..., :3], scale=(metallic,) * 3, channel=2)
+            rough_tx = builder.add_texture_image(
+                img[..., :3], scale=(roughness,) * 3, channel=1)
     return builder.add_material(
         mtype=MAT_DISNEY, kd=tuple(color),
-        eta=(ior,) * 3, misc=(metallic, roughness, 0.0, 0.0))
+        eta=(ior,) * 3, misc=(metallic, roughness, 0.0, 0.0),
+        kd_tx=kd_tx, metallic_tx=metallic_tx, rough_tx=rough_tx)
 
 
 def load_gltf(path: str, resolution=None, default_lights: bool = False):
@@ -162,7 +210,7 @@ def load_gltf(path: str, resolution=None, default_lights: bool = False):
     # default material at slot 0 (ref from_gltf:520: default_material first)
     builder.add_material(mtype=MAT_MATTE, kd=(0.5, 0.5, 0.5))
     for mat in doc.get("materials", []):
-        _material_row(builder, mat)
+        _material_row(builder, mat, gf)
 
     cam_result = {}
 

@@ -53,6 +53,36 @@ def schlick_r0_from_eta(eta: float) -> float:
     return (eta - 1.0) ** 2 / (eta + 1.0) ** 2
 
 
+def _texture_from_el(builder: SceneBuilder, el, scene_dir: str = ".") -> int:
+    """Parse a nested <texture> into a descriptor id, or -1.
+
+    Ref pathtracer/importer/mitsuba.rs:24-67: checkerboard with UVMap
+    scale/offset; bitmap with the v-flip UVMap(1,-1,0,0) quirk and sRGB
+    decode.
+    """
+    tex = el.find("texture")
+    if tex is None:
+        return -1
+    kind = tex.get("type")
+    if kind == "checkerboard":
+        rgbs = _rgbs(tex)
+        floats = _floats(tex)
+        return builder.add_texture_checker(
+            rgbs.get("color0", np.zeros(3, np.float32)),
+            rgbs.get("color1", np.ones(3, np.float32)),
+            uv=(floats.get("uscale", 1.0), floats.get("vscale", 1.0),
+                floats.get("uoffset", 0.0), floats.get("voffset", 0.0)))
+    if kind == "bitmap":
+        from ..utils.image import read_png
+        fname = _strings(tex)["filename"]
+        path = os.path.join(scene_dir, fname)
+        if fname.lower().endswith(".png") and os.path.exists(path):
+            img = read_png(path).astype(np.float32) / 255.0
+            return builder.add_texture_image(
+                img, uv=(1.0, -1.0, 0.0, 0.0), srgb=True)
+    return -1
+
+
 def _material_from_bsdf(builder: SceneBuilder, el) -> int:
     """Map a Mitsuba BSDF element to a material-table row.
 
@@ -68,7 +98,8 @@ def _material_from_bsdf(builder: SceneBuilder, el) -> int:
     strings = _strings(el)
     if kind == "diffuse":
         kd = rgbs.get("reflectance", np.ones(3, np.float32))
-        return builder.add_material(mtype=MAT_MATTE, kd=kd)
+        kd_tx = _texture_from_el(builder, el)
+        return builder.add_material(mtype=MAT_MATTE, kd=kd, kd_tx=kd_tx)
     if kind in ("conductor", "roughconductor"):
         if strings.get("material") == "none":
             return builder.add_material(mtype=MAT_MIRROR)

@@ -67,6 +67,23 @@ class SceneData:
     light_tri: Any  # (L,) i32 triangle id for area lights
     light_vec: Any  # (L,3) point light position / distant light direction
 
+    # texture descriptors (K, ...): kind 0=const 1=checker 2=image
+    txd_kind: Any
+    txd_rgb0: Any  # (K,3) const value / checker color0
+    txd_rgb1: Any  # (K,3) checker color1
+    txd_scale: Any  # (K,3) multiplier (image textures)
+    txd_uv: Any  # (K,4) uscale,vscale,uoffset,voffset
+    txd_image: Any  # (K,) i32 texture-pool id
+    txd_channel: Any  # (K,) i32 -1=rgb, 0..2 scalar channel broadcast
+    txd_srgb: Any  # (K,) bool - sRGB decode image texels
+    tex: Any  # TexturePool
+
+    # per-material texture bindings (-1 = use the constant table value)
+    mat_kd_tx: Any  # (M,)
+    mat_ks_tx: Any  # (M,)
+    mat_metallic_tx: Any  # (M,)
+    mat_rough_tx: Any  # (M,)
+
     # environment light (single; zeros if absent)
     env_map: Any  # (He, We, 3) equirect radiance (1x1 black if none)
     env_cond_func: Any  # (Hd, Wd) 2D distribution tables (1x1 if none)
@@ -119,6 +136,9 @@ class SceneBuilder:
     """Host-side accumulation of meshes/materials/lights → SceneData."""
 
     def __init__(self) -> None:
+        from .texture import TexturePoolBuilder
+        self.tex_pool = TexturePoolBuilder()
+        self.txds: list[dict] = []
         self.tri_p: list[np.ndarray] = []  # (f,3,3) per mesh
         self.tri_n: list[np.ndarray] = []
         self.tri_has_n: list[np.ndarray] = []
@@ -134,10 +154,29 @@ class SceneBuilder:
             mtype=MAT_MATTE, kd=(0.5, 0.5, 0.5), ks=(0.0, 0.0, 0.0),
             eta=(1.5, 1.5, 1.5), k=(0.0, 0.0, 0.0), rough=(0.0, 0.0),
             misc=(0.0, 0.0, 0.0, 0.0), remap=False,
+            kd_tx=-1, ks_tx=-1, metallic_tx=-1, rough_tx=-1,
         )
         defaults.update(kwargs)
         self.materials.append(defaults)
         return len(self.materials) - 1
+
+    def add_texture_checker(self, color0, color1, uv=(1, 1, 0, 0)) -> int:
+        """Checker texture descriptor (ref texture.rs CheckerTexture)."""
+        self.txds.append(dict(kind=1, rgb0=color0, rgb1=color1,
+                              scale=(1, 1, 1), uv=uv, image=0, channel=-1,
+                              srgb=False))
+        return len(self.txds) - 1
+
+    def add_texture_image(self, image: np.ndarray, scale=(1, 1, 1),
+                          uv=(1, 1, 0, 0), wrap: int = 0, channel: int = -1,
+                          srgb: bool = False) -> int:
+        """Image texture descriptor backed by the mip-pyramid pool
+        (ref texture.rs ImageTexture/MIPMap)."""
+        tex_id = self.tex_pool.add(image, wrap)
+        self.txds.append(dict(kind=2, rgb0=(0, 0, 0), rgb1=(0, 0, 0),
+                              scale=scale, uv=uv, image=tex_id,
+                              channel=channel, srgb=srgb))
+        return len(self.txds) - 1
 
     def add_mesh(self, positions: np.ndarray, indices: np.ndarray,
                  normals: np.ndarray | None, uvs: np.ndarray | None,
@@ -220,7 +259,12 @@ class SceneBuilder:
         mats = self.materials or [dict(
             mtype=MAT_MATTE, kd=(0.5, 0.5, 0.5), ks=(0, 0, 0),
             eta=(1.5, 1.5, 1.5), k=(0, 0, 0), rough=(0, 0),
-            misc=(0, 0, 0, 0), remap=False)]
+            misc=(0, 0, 0, 0), remap=False,
+            kd_tx=-1, ks_tx=-1, metallic_tx=-1, rough_tx=-1)]
+
+        txds = self.txds or [dict(kind=0, rgb0=(0, 0, 0), rgb1=(0, 0, 0),
+                                  scale=(1, 1, 1), uv=(1, 1, 0, 0), image=0,
+                                  channel=-1, srgb=False)]
 
         nl = max(1, len(self.lights))
         lights = self.lights or [dict(ltype=LIGHT_POINT,
@@ -285,6 +329,21 @@ class SceneBuilder:
             mat_rough=_as_f32([mm["rough"] for mm in mats]),
             mat_misc=_as_f32([mm["misc"] for mm in mats]),
             mat_remap=jnp.asarray([bool(mm["remap"]) for mm in mats]),
+            mat_kd_tx=jnp.asarray([mm["kd_tx"] for mm in mats], jnp.int32),
+            mat_ks_tx=jnp.asarray([mm["ks_tx"] for mm in mats], jnp.int32),
+            mat_metallic_tx=jnp.asarray(
+                [mm["metallic_tx"] for mm in mats], jnp.int32),
+            mat_rough_tx=jnp.asarray(
+                [mm["rough_tx"] for mm in mats], jnp.int32),
+            txd_kind=jnp.asarray([t["kind"] for t in txds], jnp.int32),
+            txd_rgb0=_as_f32([t["rgb0"] for t in txds]),
+            txd_rgb1=_as_f32([t["rgb1"] for t in txds]),
+            txd_scale=_as_f32([t["scale"] for t in txds]),
+            txd_uv=_as_f32([t["uv"] for t in txds]),
+            txd_image=jnp.asarray([t["image"] for t in txds], jnp.int32),
+            txd_channel=jnp.asarray([t["channel"] for t in txds], jnp.int32),
+            txd_srgb=jnp.asarray([bool(t["srgb"]) for t in txds]),
+            tex=self.tex_pool.build(),
             light_type=jnp.asarray([l["ltype"] for l in lights], jnp.int32),
             light_emit=_as_f32([l["emit"] for l in lights]),
             light_tri=jnp.asarray([l["tri"] for l in lights], jnp.int32),

@@ -1,0 +1,122 @@
+"""Texture pool + descriptor evaluation tests (ref texture.rs)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pathtracer_tpu.scene.scene import MAT_MATTE, SceneBuilder
+from pathtracer_tpu.scene.texture import (WRAP_CLAMP, WRAP_REPEAT,
+                                          TexturePoolBuilder, build_pyramid,
+                                          lookup_width)
+from pathtracer_tpu.ops.bsdf import eval_texture
+
+
+def test_pyramid_structure():
+    img = np.random.default_rng(0).random((7, 5, 3)).astype(np.float32)
+    levels = build_pyramid(img)
+    assert levels[0].shape == (8, 8, 3)  # pow2 resample
+    assert levels[-1].shape == (1, 1, 3)
+    assert len(levels) == 4
+    # box filter preserves the mean approximately
+    np.testing.assert_allclose(levels[-1][0, 0], levels[0].mean((0, 1)),
+                               rtol=1e-4)
+
+
+def test_pool_lookup_bilinear():
+    img = np.zeros((4, 4, 3), np.float32)
+    img[:, 2:, :] = 1.0  # right half white
+    b = TexturePoolBuilder()
+    tid = b.add(img, WRAP_CLAMP)
+    pool = b.build()
+    tex = jnp.zeros(3, jnp.int32) + tid
+    st = jnp.asarray([[0.125, 0.5], [0.875, 0.5], [0.5, 0.5]], jnp.float32)
+    v = np.asarray(lookup_width(pool, tex, st, 0.0))
+    assert v[0, 0] < 0.01  # left: black
+    assert v[1, 0] > 0.99  # right: white
+    assert 0.4 < v[2, 0] < 0.6  # seam: blend
+
+
+def test_pool_lookup_coarsest_level_is_mean():
+    rng = np.random.default_rng(1)
+    img = rng.random((8, 8, 3)).astype(np.float32)
+    b = TexturePoolBuilder()
+    tid = b.add(img, WRAP_REPEAT)
+    pool = b.build()
+    tex = jnp.zeros(1, jnp.int32) + tid
+    st = jnp.asarray([[0.3, 0.7]], jnp.float32)
+    v = np.asarray(lookup_width(pool, tex, st, 10.0))  # huge width → 1x1
+    np.testing.assert_allclose(v[0], img.mean((0, 1)), rtol=1e-4)
+
+
+def _scene_with(builder_fn):
+    b = SceneBuilder()
+    txd = builder_fn(b)
+    b.add_material(mtype=MAT_MATTE, kd=(0.1, 0.1, 0.1), kd_tx=txd)
+    b.add_mesh(np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32),
+               np.array([[0, 1, 2]]), None, None, 0)
+    return b.build()
+
+
+def test_checker_descriptor():
+    scene = _scene_with(lambda b: b.add_texture_checker(
+        (1, 0, 0), (0, 1, 0), uv=(2, 2, 0, 0)))
+    uv = jnp.asarray([[0.1, 0.1], [0.6, 0.1], [0.6, 0.6]], jnp.float32)
+    txd = jnp.zeros(3, jnp.int32)
+    v = np.asarray(eval_texture(scene, txd, uv, jnp.zeros((3, 3))))
+    # uv scaled by 2: cells flip every 0.5
+    np.testing.assert_allclose(v[0], [1, 0, 0])  # (0,0) cell
+    np.testing.assert_allclose(v[1], [0, 1, 0])  # (1,0) cell
+    np.testing.assert_allclose(v[2], [1, 0, 0])  # (1,1) cell
+
+
+def test_image_descriptor_with_channel_and_scale():
+    img = np.zeros((4, 4, 3), np.float32)
+    img[..., 1] = 0.5  # green channel constant
+    b = SceneBuilder()
+    txd = b.add_texture_image(img, scale=(2.0, 2.0, 2.0), channel=1)
+    b.add_material(mtype=MAT_MATTE, kd_tx=txd)
+    b.add_mesh(np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32),
+               np.array([[0, 1, 2]]), None, None, 0)
+    scene = b.build()
+    uv = jnp.asarray([[0.5, 0.5]], jnp.float32)
+    v = np.asarray(eval_texture(scene, jnp.zeros(1, jnp.int32), uv,
+                                jnp.zeros((1, 3))))
+    np.testing.assert_allclose(v[0], [1.0, 1.0, 1.0], rtol=1e-5)
+
+
+def test_fallback_for_unbound():
+    scene = _scene_with(lambda b: b.add_texture_checker((1, 0, 0), (0, 1, 0)))
+    uv = jnp.asarray([[0.5, 0.5]], jnp.float32)
+    fb = jnp.asarray([[0.7, 0.8, 0.9]], jnp.float32)
+    v = np.asarray(eval_texture(scene, jnp.full(1, -1, jnp.int32), uv, fb))
+    np.testing.assert_allclose(v[0], [0.7, 0.8, 0.9])
+
+
+def test_textured_render_smoke():
+    """Cornell with a checkered floor renders finite and shows variation."""
+    from pathtracer_tpu.integrator import PathConfig, PathIntegrator
+    from pathtracer_tpu.scene import meshgen
+    b = SceneBuilder()
+    txd = b.add_texture_checker((0.9, 0.1, 0.1), (0.1, 0.1, 0.9),
+                                uv=(4, 4, 0, 0))
+    floor = b.add_material(mtype=MAT_MATTE, kd_tx=txd)
+    pos, idx, nrm, _ = meshgen.gen_rectangle()
+    m = np.asarray([[3, 0, 0, 0], [0, 0, 3, 0], [0, 3, 0, 0], [0, 0, 0, 1.0]])
+    # plane normal +z → +y: rows map local axes
+    m = np.asarray([[3, 0, 0, 0], [0, 0, 1, 0], [0, 3, 0, 0], [0, 0, 0, 1.0]])
+    p, n = meshgen.transform_mesh(pos, nrm, m)
+    b.add_mesh(p, idx, n, np.array([[0, 0], [1, 0], [1, 1], [0, 1]],
+                                   np.float32), floor)
+    b.add_point_light((0, 4, 0), (40, 40, 40))
+    from pathtracer_tpu.core.camera import Camera
+    cam = Camera.look_at([0, 3, 5], [0, 0, 0], [0, 1, 0], np.pi / 3,
+                         (32, 32))
+    film = PathIntegrator(PathConfig(max_depth=1), spp=2).render(
+        cam, b.build())
+    rgb = np.asarray(film[..., :3] / np.maximum(np.asarray(film[..., 3:4]),
+                                                1e-9))
+    assert np.isfinite(rgb).all()
+    lit = rgb[rgb.sum(-1) > 0.01]
+    assert len(lit) > 50
+    # both checker colors visible: some red-dominant, some blue-dominant
+    assert (lit[:, 0] > 2 * lit[:, 2]).any()
+    assert (lit[:, 2] > 2 * lit[:, 0]).any()
