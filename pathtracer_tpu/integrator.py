@@ -108,8 +108,10 @@ class TracedScene:
         import numpy as _np
         f = int(scene_data.p0.shape[0])
         if use_bvh is None:
-            # pallas brute force beats stack traversal until scenes get big
-            use_bvh = f > 2048
+            # pallas brute force (fully unrolled kernel) for tiny scenes;
+            # dynamic-indexed triangle loops fault Mosaic (known issue), so
+            # anything bigger goes through the BVH traversal
+            use_bvh = f > 128
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         if not use_bvh:
@@ -434,6 +436,14 @@ class PathIntegrator:
         domain = sb.SobolDomain.create((x0, y0), (x1, y1), self.spp)
 
         band = self.band_rows or max(1, (1 << 17) // ws)
+        # WORKAROUND: BVH-traversal waves above ~20k rays crash the TPU
+        # worker on the axon backend (kernel fault; cornell-sized scenes and
+        # standalone traversal at 80k rays are fine — the fused program
+        # with deep BVHs is not). Cap the wave until the root cause is
+        # found; brute-force/pallas scenes keep the big bands.
+        if scene.bvh is not None and self.band_rows is None and \
+                jax.default_backend() != "cpu":
+            band = min(band, max(1, 20_000 // ws))
         band = min(band, hs)
         n_bands = -(-hs // band)
         chunk = pm.round_up_pow2(min(chunk_spp or self.spp, self.spp))

@@ -63,10 +63,10 @@ def _intersect_kernel(any_hit: bool, f: int,
 
     def tri_body(i, carry):
         best_t, best_tri, b0b, b1b, b2b, found = carry
-        # scalar reads from SMEM (native scalar memory)
-        p0x_, p0y_, p0z_ = tri_ref[i, 0], tri_ref[i, 1], tri_ref[i, 2]
-        p1x_, p1y_, p1z_ = tri_ref[i, 3], tri_ref[i, 4], tri_ref[i, 5]
-        p2x_, p2y_, p2z_ = tri_ref[i, 6], tri_ref[i, 7], tri_ref[i, 8]
+        row = tri_ref[i]  # (12,) VMEM row (SMEM is too small for big F)
+        p0x_, p0y_, p0z_ = row[0], row[1], row[2]
+        p1x_, p1y_, p1z_ = row[3], row[4], row[5]
+        p2x_, p2y_, p2z_ = row[6], row[7], row[8]
 
         def shear(px_, py_, pz_):
             tx = _sel3(kx, px_, py_, pz_) - o_kx
@@ -132,7 +132,10 @@ def _intersect_kernel(any_hit: bool, f: int,
             jnp.zeros(shape, jnp.float32),
             jnp.zeros(shape, jnp.int32))
 
-    if f <= 256:
+    # NOTE: the dynamic tri_ref[i] row load inside fori/while loops faults
+    # the TPU worker (Mosaic dynamic vector indexing); callers keep f <= 128
+    # so the unrolled path is always taken on hardware.
+    if f <= 128:
         # full unroll: lets Mosaic software-pipeline the scalar loads
         carry = init
         for i in range(f):
@@ -185,7 +188,7 @@ def intersect_pallas(o, d, t_max, tri_pack, any_hit: bool = False,
     block = lambda: pl.BlockSpec((rows, 128), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)
     tri_spec = pl.BlockSpec((f, 12), lambda i: (0, 0),
-                            memory_space=pltpu.SMEM)
+                            memory_space=pltpu.VMEM)
     out_shapes = tuple(
         jax.ShapeDtypeStruct((n_pad // 128, 128), dt)
         for dt in (jnp.float32, jnp.int32, jnp.float32, jnp.float32,

@@ -72,9 +72,19 @@ def _camera(resolution, half: float = 3.0) -> Camera:
 
 
 def small_scene(resolution=(640, 480)):
-    """Config B: mirror + glass spheres, point + directional lights."""
+    """Config B: mirror + glass spheres over an open checkered ground with
+    point + directional lights (both always visible — an enclosed room
+    would permanently occlude the directional light)."""
     b = SceneBuilder()
-    _room(b)
+    checker = b.add_texture_checker((0.725, 0.71, 0.68), (0.25, 0.25, 0.3),
+                                    uv=(8, 8, 0, 0))
+    ground = b.add_material(mtype=MAT_MATTE, kd_tx=checker)
+    pos, idx, nrm, _ = meshgen.gen_rectangle()
+    m = _plane_matrix([12, 0, 0], [0, 0, -12], [0, 0, 0])  # floor +y
+    p, n = meshgen.transform_mesh(pos, nrm, m)
+    b.add_mesh(p, idx, n,
+               np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32),
+               ground)
     mirror = b.add_material(mtype=MAT_MIRROR)
     glass = b.add_material(mtype=MAT_GLASS, kd=(1, 1, 1), ks=(1, 1, 1),
                            eta=(1.5, 1.5, 1.5))
