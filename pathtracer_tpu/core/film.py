@@ -145,7 +145,9 @@ def splat_tile(radiance, jx, jy, valid, filter_f1d, radius: float = 2.0):
         for ix in range(5):
             w = wy[iy] * wx[ix] * vmask  # (Th, Tw)
             update = jnp.concatenate([l_ok * w[None], w[None]], axis=0)
-            tile = tile.at[:, iy:iy + th, ix:ix + tw].add(update)
+            # pad+sum beats shifted slice-updates ~2x on TPU (no strided RMW)
+            tile = tile + jnp.pad(update,
+                                  ((0, 0), (iy, 4 - iy), (ix, 4 - ix)))
     return tile
 
 
