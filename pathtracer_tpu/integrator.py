@@ -100,6 +100,8 @@ class TracedScene:
     data: "SceneData"  # noqa: F821
     bvh: "BVHArrays | None" = None  # noqa: F821
     use_pallas: bool = False
+    # static set of material types present — absent BSDF models compile out
+    mat_set: tuple = (0, 1, 2, 3, 4, 5)
 
     @staticmethod
     def create(scene_data, use_bvh: bool | None = None,
@@ -107,6 +109,9 @@ class TracedScene:
                use_pallas: bool | None = None) -> "TracedScene":
         import numpy as _np
         f = int(scene_data.p0.shape[0])
+        used_mats = _np.unique(_np.asarray(scene_data.material_id))
+        mat_set = tuple(sorted(set(
+            _np.asarray(scene_data.mat_type)[used_mats].tolist())))
         if use_bvh is None:
             # pallas brute force (fully unrolled kernel) for tiny scenes;
             # dynamic-indexed triangle loops fault Mosaic (known issue), so
@@ -115,20 +120,20 @@ class TracedScene:
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         if not use_bvh:
-            return TracedScene(scene_data, None, use_pallas)
+            return TracedScene(scene_data, None, use_pallas, mat_set)
         from .accel.bvh import build_bvh
         from .scene.scene import reorder_triangles
         bvh = build_bvh(_np.asarray(scene_data.p0),
                         _np.asarray(scene_data.p1),
                         _np.asarray(scene_data.p2), max_leaf)
         data = reorder_triangles(scene_data, bvh.order)
-        return TracedScene(data, bvh, use_pallas)
+        return TracedScene(data, bvh, use_pallas, mat_set)
 
 
 jax.tree_util.register_pytree_node(
     TracedScene,
-    lambda s: ((s.data, s.bvh), s.use_pallas),
-    lambda aux, kids: TracedScene(kids[0], kids[1], aux),
+    lambda s: ((s.data, s.bvh), (s.use_pallas, s.mat_set)),
+    lambda aux, kids: TracedScene(kids[0], kids[1], aux[0], aux[1]),
 )
 
 
@@ -161,7 +166,8 @@ def estimate_direct(scene, cfg, it, mp, u_scatt, u_light, light_idx,
     wo_l = _to_local(it, wo_world)
     wi_l = _to_local(it, wi)
     reflect_ng = (pm.dot(wi, it["ng"]) * pm.dot(wo_world, it["ng"])) > 0.0
-    f, scatt_pdf = bx.eval_f_pdf(mp, wo_l, wi_l, reflect_ng)
+    f, scatt_pdf = bx.eval_f_pdf(mp, wo_l, wi_l, reflect_ng,
+                                 present=scene.mat_set)
     f = f * jnp.abs(pm.dot(wi, it["ns"]))[..., None]
 
     branch1 = (ls["pdf"] > 0.0) & jnp.any(ls["li"] != 0.0, axis=-1) & \
@@ -180,7 +186,8 @@ def estimate_direct(scene, cfg, it, mp, u_scatt, u_light, light_idx,
     bs = bx.sample_f(
         mp, wo_l, u_scatt,
         lambda wi_loc: (pm.dot(_to_world(it, wi_loc), it["ng"])
-                        * pm.dot(wo_world, it["ng"])) > 0.0)
+                        * pm.dot(wo_world, it["ng"])) > 0.0,
+        present=scene.mat_set)
     wi2_w = _to_world(it, bs["wi"])
     f2 = bs["f"] * jnp.abs(pm.dot(wi2_w, it["ns"]))[..., None]
     branch2 = (~ls["is_delta"]) & jnp.any(f2 != 0.0, axis=-1) & (bs["pdf"] > 0.0)
@@ -276,7 +283,8 @@ def trace_wave(scene, cfg: PathConfig, draw, draw2, o, d):
         bs = bx.sample_f(
             mp, wo_l, u_bsdf,
             lambda wi_loc: (pm.dot(_to_world(it, wi_loc), it["ng"])
-                            * pm.dot(wo, it["ng"])) > 0.0)
+                            * pm.dot(wo, it["ng"])) > 0.0,
+            present=scene.mat_set)
         wi_w = _to_world(it, bs["wi"])
         cos_ns = jnp.abs(pm.dot(wi_w, it["ns"]))
         dead = jnp.all(bs["f"] == 0.0, axis=-1) | (bs["pdf"] == 0.0)

@@ -390,47 +390,62 @@ def _cosine_pdf(wo, wi):
                      abs_cos_theta(wi) * INV_PI, 0.0)
 
 
-def eval_f_pdf(mp, wo, wi, reflect_ng):
+def eval_f_pdf(mp, wo, wi, reflect_ng, present=None):
     """BSDF f and pdf for NEE's light branch, flags = ALL − SPECULAR.
 
     wo, wi local; reflect_ng: (N,) bool — (wi·ng)(wo·ng) > 0 computed in
     world space by the caller (ref bsdf.rs:150-187 hemisphere routing).
-    Specular materials (mirror/glass) return f=0, pdf=0.
+    Specular materials (mirror/glass) return f=0, pdf=0. `present` is the
+    static set of material types in the scene: absent models compile to
+    nothing (scene-adaptive specialization).
     """
     mtype = mp["mtype"]
     ax, ay = mp["ax"], mp["ay"]
     wo_ok = wo[..., 2] != 0.0
+    if present is None:
+        present = (MAT_MATTE, MAT_MIRROR, MAT_GLASS, MAT_METAL,
+                   MAT_SUBSTRATE, MAT_DISNEY)
 
-    f_matte = mp["kd"] * INV_PI
-    pdf_matte = _cosine_pdf(wo, wi)
+    preds, fs, pdfs = [], [], []
 
-    f_metal = _microfacet_f(
-        mp["ks"], wo, wi, ax, ay,
-        lambda ci: fr_conductor(jnp.abs(ci), jnp.ones_like(mp["eta3"]),
-                                mp["eta3"], mp["k"]))
-    pdf_metal = _microfacet_pdf(wo, wi, ax, ay)
+    if MAT_MATTE in present:
+        preds.append(mtype == MAT_MATTE)
+        fs.append(mp["kd"] * INV_PI)
+        pdfs.append(_cosine_pdf(wo, wi))
 
-    f_sub = _fresnel_blend_f(mp["kd"], mp["ks"], wo, wi, ax, ay)
-    pdf_sub = _fresnel_blend_pdf(wo, wi, ax, ay)
+    if MAT_METAL in present:
+        preds.append(mtype == MAT_METAL)
+        fs.append(_microfacet_f(
+            mp["ks"], wo, wi, ax, ay,
+            lambda ci: fr_conductor(jnp.abs(ci), jnp.ones_like(mp["eta3"]),
+                                    mp["eta3"], mp["k"])))
+        pdfs.append(_microfacet_pdf(wo, wi, ax, ay))
 
-    dif_c, c_spec0 = _disney_lobes(mp)
-    sep = jnp.ones_like(mp["eta"], bool)
-    f_dis = _disney_diffuse_f(dif_c, wo, wi) + _microfacet_f(
-        jnp.ones_like(dif_c), wo, wi, ax, ay,
-        lambda ci: disney_fresnel(c_spec0, mp["metallic"], mp["eta"], ci),
-        separable=sep)
-    pdf_dis = 0.5 * (_cosine_pdf(wo, wi) + _microfacet_pdf(wo, wi, ax, ay))
+    if MAT_SUBSTRATE in present:
+        preds.append(mtype == MAT_SUBSTRATE)
+        fs.append(_fresnel_blend_f(mp["kd"], mp["ks"], wo, wi, ax, ay))
+        pdfs.append(_fresnel_blend_pdf(wo, wi, ax, ay))
 
-    sel3 = [(mtype == MAT_MATTE)[..., None], (mtype == MAT_METAL)[..., None],
-            (mtype == MAT_SUBSTRATE)[..., None],
-            (mtype == MAT_DISNEY)[..., None]]
-    f = jnp.select(sel3, [f_matte, f_metal, f_sub, f_dis],
-                   jnp.zeros_like(f_matte))
-    pdf = jnp.select(
-        [mtype == MAT_MATTE, mtype == MAT_METAL,
-         mtype == MAT_SUBSTRATE, mtype == MAT_DISNEY],
-        [pdf_matte, pdf_metal, pdf_sub, pdf_dis],
-        jnp.zeros_like(pdf_matte))
+    if MAT_DISNEY in present:
+        dif_c, c_spec0 = _disney_lobes(mp)
+        sep = jnp.ones_like(mp["eta"], bool)
+        preds.append(mtype == MAT_DISNEY)
+        fs.append(_disney_diffuse_f(dif_c, wo, wi) + _microfacet_f(
+            jnp.ones_like(dif_c), wo, wi, ax, ay,
+            lambda ci: disney_fresnel(c_spec0, mp["metallic"], mp["eta"], ci),
+            separable=sep))
+        pdfs.append(0.5 * (_cosine_pdf(wo, wi)
+                           + _microfacet_pdf(wo, wi, ax, ay)))
+
+    zero3 = jnp.zeros(wo.shape[:-1] + (3,), jnp.float32)
+    zero1 = jnp.zeros(wo.shape[:-1], jnp.float32)
+    if not preds:
+        return zero3, zero1
+    sel3 = [p[..., None] for p in preds]
+    f = jnp.select(sel3, fs, zero3) if len(fs) > 1 else \
+        jnp.where(sel3[0], fs[0], zero3)
+    pdf = jnp.select(preds, pdfs, zero1) if len(pdfs) > 1 else \
+        jnp.where(preds[0], pdfs[0], zero1)
 
     # all listed lobes are REFLECTION-type: zero f unless the ng-test says
     # reflection (ref bsdf.rs:172-186)
@@ -444,122 +459,160 @@ def has_nonspecular(mtype):
     return (mtype != MAT_MIRROR) & (mtype != MAT_GLASS)
 
 
-def sample_f(mp, wo, u, reflect_ng_fn):
+def sample_f(mp, wo, u, reflect_ng_fn, present=None):
     """Sample the BSDF, flags = ALL (path bounce, ref bsdf.rs:66-148).
 
     mp: material params; wo: local outgoing; u: (N, 2) in [0,1);
     reflect_ng_fn: callable wi_local → (N,) bool reflect test via geometric
     normal in world space (needed for Disney's multi-lobe f re-evaluation).
-    Returns dict(wi, f, pdf, specular, transmission).
+    `present` is the static set of material types in the scene — absent
+    models compile to nothing. Returns dict(wi, f, pdf, specular,
+    transmission).
     """
     mtype = mp["mtype"]
     ax, ay = mp["ax"], mp["ay"]
     u0, u1 = u[..., 0], u[..., 1]
+    if present is None:
+        present = (MAT_MATTE, MAT_MIRROR, MAT_GLASS, MAT_METAL,
+                   MAT_SUBSTRATE, MAT_DISNEY)
 
-    # ---- matte: cosine hemisphere (bxdf/mod.rs:103-121)
-    wi_matte = cosine_sample_hemisphere(u)
-    wi_matte = jnp.where((wo[..., 2] < 0.0)[..., None],
-                         wi_matte * jnp.asarray([1.0, 1.0, -1.0]), wi_matte)
-    pdf_matte = _cosine_pdf(wo, wi_matte)
-    f_matte = mp["kd"] * INV_PI
+    preds, wis, fs, pdfs = [], [], [], []
+    glass_trans = jnp.zeros(u0.shape, bool)
 
-    # ---- mirror (fresnel.rs:129-140): fresnel NoOp = 1
-    wi_mirror = reflect_local(wo)
-    pdf_mirror = jnp.ones_like(u0)
-    f_mirror = jnp.ones_like(mp["kd"]) / \
-        jnp.maximum(abs_cos_theta(wi_mirror), 1e-20)[..., None]
+    if MAT_MATTE in present:
+        # ---- matte: cosine hemisphere (bxdf/mod.rs:103-121)
+        wi_matte = cosine_sample_hemisphere(u)
+        wi_matte = jnp.where((wo[..., 2] < 0.0)[..., None],
+                             wi_matte * jnp.asarray([1.0, 1.0, -1.0]),
+                             wi_matte)
+        preds.append(mtype == MAT_MATTE)
+        wis.append(wi_matte)
+        fs.append(mp["kd"] * INV_PI)
+        pdfs.append(_cosine_pdf(wo, wi_matte))
 
-    # ---- glass: FresnelSpecular (fresnel.rs:244-288)
-    eta_a = jnp.ones_like(mp["eta"])
-    eta_b = mp["eta"]
-    fr = fr_dielectric(cos_theta(wo), eta_a, eta_b)
-    take_refl = u0 < fr
-    wi_gr = reflect_local(wo)
-    f_gr = fr[..., None] * mp["kd"] / \
-        jnp.maximum(abs_cos_theta(wi_gr), 1e-20)[..., None]
-    entering = cos_theta(wo) > 0.0
-    ei = jnp.where(entering, eta_a, eta_b)
-    et = jnp.where(entering, eta_b, eta_a)
-    n_ff = jnp.stack([jnp.zeros_like(u0), jnp.zeros_like(u0),
-                      jnp.where(entering, 1.0, -1.0)], axis=-1)
-    wi_gt, refr_ok = refract(wo, n_ff, ei / et)
-    ft = mp["ks"] * (1.0 - fr)[..., None] * \
-        ((ei * ei) / (et * et))[..., None] / \
-        jnp.maximum(abs_cos_theta(wi_gt), 1e-20)[..., None]
-    f_gt = jnp.where(refr_ok[..., None], ft, 0.0)
-    wi_glass = jnp.where(take_refl[..., None], wi_gr, wi_gt)
-    f_glass = jnp.where(take_refl[..., None], f_gr, f_gt)
-    pdf_glass = jnp.where(take_refl, fr, 1.0 - fr)
-    glass_trans = ~take_refl
+    if MAT_MIRROR in present:
+        # ---- mirror (fresnel.rs:129-140): fresnel NoOp = 1
+        wi_mirror = reflect_local(wo)
+        preds.append(mtype == MAT_MIRROR)
+        wis.append(wi_mirror)
+        fs.append(jnp.ones_like(mp["kd"]) /
+                  jnp.maximum(abs_cos_theta(wi_mirror), 1e-20)[..., None])
+        pdfs.append(jnp.ones_like(u0))
 
-    # ---- metal: sample visible normal, reflect (microfacet.rs:218-243)
-    wh_m = tr_sample_wh(wo, u, ax, ay)
-    wi_metal = reflect_about(wo, wh_m)
-    metal_ok = (wo[..., 2] != 0.0) & (pm.dot(wo, wh_m) >= 0.0) & \
-        same_hemisphere(wo, wi_metal)
-    pdf_metal = jnp.where(
-        metal_ok,
-        tr_pdf(wo, wh_m, ax, ay) / jnp.maximum(4.0 * pm.dot(wo, wh_m), 1e-20),
-        0.0)
-    f_metal = jnp.where(metal_ok[..., None], _microfacet_f(
-        mp["ks"], wo, wi_metal, ax, ay,
-        lambda ci: fr_conductor(jnp.abs(ci), jnp.ones_like(mp["eta3"]),
-                                mp["eta3"], mp["k"])), 0.0)
+    if MAT_GLASS in present:
+        # ---- glass: FresnelSpecular (fresnel.rs:244-288)
+        eta_a = jnp.ones_like(mp["eta"])
+        eta_b = mp["eta"]
+        fr = fr_dielectric(cos_theta(wo), eta_a, eta_b)
+        take_refl = u0 < fr
+        wi_gr = reflect_local(wo)
+        f_gr = fr[..., None] * mp["kd"] / \
+            jnp.maximum(abs_cos_theta(wi_gr), 1e-20)[..., None]
+        entering = cos_theta(wo) > 0.0
+        ei = jnp.where(entering, eta_a, eta_b)
+        et = jnp.where(entering, eta_b, eta_a)
+        n_ff = jnp.stack([jnp.zeros_like(u0), jnp.zeros_like(u0),
+                          jnp.where(entering, 1.0, -1.0)], axis=-1)
+        wi_gt, refr_ok = refract(wo, n_ff, ei / et)
+        ft = mp["ks"] * (1.0 - fr)[..., None] * \
+            ((ei * ei) / (et * et))[..., None] / \
+            jnp.maximum(abs_cos_theta(wi_gt), 1e-20)[..., None]
+        f_gt = jnp.where(refr_ok[..., None], ft, 0.0)
+        preds.append(mtype == MAT_GLASS)
+        wis.append(jnp.where(take_refl[..., None], wi_gr, wi_gt))
+        fs.append(jnp.where(take_refl[..., None], f_gr, f_gt))
+        pdfs.append(jnp.where(take_refl, fr, 1.0 - fr))
+        glass_trans = (mtype == MAT_GLASS) & ~take_refl
 
-    # ---- substrate: FresnelBlend sample (microfacet.rs:433-459)
-    half = u0 < 0.5
-    u0_s = jnp.where(half, jnp.minimum(2.0 * u0, ONE_MINUS_EPSILON),
-                     jnp.minimum(2.0 * (u0 - 0.5), ONE_MINUS_EPSILON))
-    us = jnp.stack([u0_s, u1], axis=-1)
-    wi_s_cos = cosine_sample_hemisphere(us)
-    wi_s_cos = jnp.where((wo[..., 2] < 0.0)[..., None],
-                         wi_s_cos * jnp.asarray([1.0, 1.0, -1.0]), wi_s_cos)
-    wh_s = tr_sample_wh(wo, us, ax, ay)
-    wi_s_spec = reflect_about(wo, wh_s)
-    wi_sub = jnp.where(half[..., None], wi_s_cos, wi_s_spec)
-    sub_ok = half | same_hemisphere(wo, wi_sub)
-    pdf_sub = jnp.where(sub_ok, _fresnel_blend_pdf(wo, wi_sub, ax, ay), 0.0)
-    f_sub = jnp.where(sub_ok[..., None],
-                      _fresnel_blend_f(mp["kd"], mp["ks"], wo, wi_sub, ax, ay),
-                      0.0)
+    if MAT_METAL in present:
+        # ---- metal: sample visible normal, reflect (microfacet.rs:218-243)
+        wh_m = tr_sample_wh(wo, u, ax, ay)
+        wi_metal = reflect_about(wo, wh_m)
+        metal_ok = (wo[..., 2] != 0.0) & (pm.dot(wo, wh_m) >= 0.0) & \
+            same_hemisphere(wo, wi_metal)
+        preds.append(mtype == MAT_METAL)
+        wis.append(wi_metal)
+        pdfs.append(jnp.where(
+            metal_ok,
+            tr_pdf(wo, wh_m, ax, ay) /
+            jnp.maximum(4.0 * pm.dot(wo, wh_m), 1e-20),
+            0.0))
+        fs.append(jnp.where(metal_ok[..., None], _microfacet_f(
+            mp["ks"], wo, wi_metal, ax, ay,
+            lambda ci: fr_conductor(jnp.abs(ci), jnp.ones_like(mp["eta3"]),
+                                    mp["eta3"], mp["k"])), 0.0))
 
-    # ---- disney: uniform pick of 2 lobes + remap (bsdf.rs:83-147)
-    comp = jnp.minimum(jnp.floor(u0 * 2.0), 1.0)
-    u0_d = u0 * 2.0 - comp
-    ud = jnp.stack([u0_d, u1], axis=-1)
-    take_diff = comp == 0.0
-    wi_d_cos = cosine_sample_hemisphere(ud)
-    wi_d_cos = jnp.where((wo[..., 2] < 0.0)[..., None],
-                         wi_d_cos * jnp.asarray([1.0, 1.0, -1.0]), wi_d_cos)
-    wh_d = tr_sample_wh(wo, ud, ax, ay)
-    wi_d_spec = reflect_about(wo, wh_d)
-    spec_ok = (wo[..., 2] != 0.0) & (pm.dot(wo, wh_d) >= 0.0)
-    wi_dis = jnp.where(take_diff[..., None], wi_d_cos, wi_d_spec)
-    dif_c, c_spec0 = _disney_lobes(mp)
-    sep = jnp.ones_like(mp["eta"], bool)
-    # summed pdf over both lobes / 2 (bsdf.rs:117-127)
-    pdf_dis = 0.5 * (_cosine_pdf(wo, wi_dis) +
-                     _microfacet_pdf(wo, wi_dis, ax, ay))
-    pdf_dis = jnp.where(take_diff | spec_ok, pdf_dis, 0.0)
-    # f re-evaluated over both lobes with ng hemisphere routing
-    reflect_ng_dis = reflect_ng_fn(wi_dis)
-    f_dis = _disney_diffuse_f(dif_c, wo, wi_dis) + _microfacet_f(
-        jnp.ones_like(dif_c), wo, wi_dis, ax, ay,
-        lambda ci: disney_fresnel(c_spec0, mp["metallic"], mp["eta"], ci),
-        separable=sep)
-    f_dis = jnp.where((reflect_ng_dis & (take_diff | spec_ok))[..., None],
-                      f_dis, 0.0)
+    if MAT_SUBSTRATE in present:
+        # ---- substrate: FresnelBlend sample (microfacet.rs:433-459)
+        half = u0 < 0.5
+        u0_s = jnp.where(half, jnp.minimum(2.0 * u0, ONE_MINUS_EPSILON),
+                         jnp.minimum(2.0 * (u0 - 0.5), ONE_MINUS_EPSILON))
+        us = jnp.stack([u0_s, u1], axis=-1)
+        wi_s_cos = cosine_sample_hemisphere(us)
+        wi_s_cos = jnp.where((wo[..., 2] < 0.0)[..., None],
+                             wi_s_cos * jnp.asarray([1.0, 1.0, -1.0]),
+                             wi_s_cos)
+        wh_s = tr_sample_wh(wo, us, ax, ay)
+        wi_s_spec = reflect_about(wo, wh_s)
+        wi_sub = jnp.where(half[..., None], wi_s_cos, wi_s_spec)
+        sub_ok = half | same_hemisphere(wo, wi_sub)
+        preds.append(mtype == MAT_SUBSTRATE)
+        wis.append(wi_sub)
+        pdfs.append(jnp.where(sub_ok,
+                              _fresnel_blend_pdf(wo, wi_sub, ax, ay), 0.0))
+        fs.append(jnp.where(
+            sub_ok[..., None],
+            _fresnel_blend_f(mp["kd"], mp["ks"], wo, wi_sub, ax, ay), 0.0))
 
-    sel = [mtype == MAT_MATTE, mtype == MAT_MIRROR, mtype == MAT_GLASS,
-           mtype == MAT_METAL, mtype == MAT_SUBSTRATE, mtype == MAT_DISNEY]
-    sel3 = [s[..., None] for s in sel]
-    wi = jnp.select(sel3, [wi_matte, wi_mirror, wi_glass, wi_metal, wi_sub,
-                           wi_dis], wi_matte)
-    f = jnp.select(sel3, [f_matte, f_mirror, f_glass, f_metal, f_sub, f_dis],
-                   jnp.zeros_like(f_matte))
-    pdf = jnp.select(sel, [pdf_matte, pdf_mirror, pdf_glass, pdf_metal,
-                           pdf_sub, pdf_dis], jnp.zeros_like(pdf_matte))
+    if MAT_DISNEY in present:
+        # ---- disney: uniform pick of 2 lobes + remap (bsdf.rs:83-147)
+        comp = jnp.minimum(jnp.floor(u0 * 2.0), 1.0)
+        u0_d = u0 * 2.0 - comp
+        ud = jnp.stack([u0_d, u1], axis=-1)
+        take_diff = comp == 0.0
+        wi_d_cos = cosine_sample_hemisphere(ud)
+        wi_d_cos = jnp.where((wo[..., 2] < 0.0)[..., None],
+                             wi_d_cos * jnp.asarray([1.0, 1.0, -1.0]),
+                             wi_d_cos)
+        wh_d = tr_sample_wh(wo, ud, ax, ay)
+        wi_d_spec = reflect_about(wo, wh_d)
+        spec_ok = (wo[..., 2] != 0.0) & (pm.dot(wo, wh_d) >= 0.0)
+        wi_dis = jnp.where(take_diff[..., None], wi_d_cos, wi_d_spec)
+        dif_c, c_spec0 = _disney_lobes(mp)
+        sep = jnp.ones_like(mp["eta"], bool)
+        # summed pdf over both lobes / 2 (bsdf.rs:117-127)
+        pdf_dis = 0.5 * (_cosine_pdf(wo, wi_dis) +
+                         _microfacet_pdf(wo, wi_dis, ax, ay))
+        pdf_dis = jnp.where(take_diff | spec_ok, pdf_dis, 0.0)
+        # f re-evaluated over both lobes with ng hemisphere routing
+        reflect_ng_dis = reflect_ng_fn(wi_dis)
+        f_dis = _disney_diffuse_f(dif_c, wo, wi_dis) + _microfacet_f(
+            jnp.ones_like(dif_c), wo, wi_dis, ax, ay,
+            lambda ci: disney_fresnel(c_spec0, mp["metallic"], mp["eta"], ci),
+            separable=sep)
+        f_dis = jnp.where((reflect_ng_dis & (take_diff | spec_ok))[..., None],
+                          f_dis, 0.0)
+        preds.append(mtype == MAT_DISNEY)
+        wis.append(wi_dis)
+        fs.append(f_dis)
+        pdfs.append(pdf_dis)
+
+    zero3 = jnp.zeros(wo.shape[:-1] + (3,), jnp.float32)
+    zero1 = jnp.zeros(wo.shape[:-1], jnp.float32)
+    default_wi = wis[0] if wis else jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 1.0]), wo.shape)
+    if len(preds) > 1:
+        sel3 = [p[..., None] for p in preds]
+        wi = jnp.select(sel3, wis, default_wi)
+        f = jnp.select(sel3, fs, zero3)
+        pdf = jnp.select(preds, pdfs, zero1)
+    elif preds:
+        wi = jnp.where(preds[0][..., None], wis[0], default_wi)
+        f = jnp.where(preds[0][..., None], fs[0], zero3)
+        pdf = jnp.where(preds[0], pdfs[0], zero1)
+    else:
+        wi, f, pdf = default_wi, zero3, zero1
     specular = (mtype == MAT_MIRROR) | (mtype == MAT_GLASS)
-    transmission = (mtype == MAT_GLASS) & glass_trans
+    transmission = glass_trans
     return dict(wi=wi, f=f, pdf=pdf, specular=specular,
                 transmission=transmission)
