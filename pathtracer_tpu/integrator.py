@@ -102,6 +102,7 @@ class TracedScene:
     use_pallas: bool = False
     # static set of material types present — absent BSDF models compile out
     mat_set: tuple = (0, 1, 2, 3, 4, 5)
+    has_normal_maps: bool = False
 
     @staticmethod
     def create(scene_data, use_bvh: bool | None = None,
@@ -112,6 +113,8 @@ class TracedScene:
         used_mats = _np.unique(_np.asarray(scene_data.material_id))
         mat_set = tuple(sorted(set(
             _np.asarray(scene_data.mat_type)[used_mats].tolist())))
+        has_nm = bool(
+            (_np.asarray(scene_data.mat_normal_tx)[used_mats] >= 0).any())
         if use_bvh is None:
             # pallas brute force (fully unrolled kernel) for tiny scenes;
             # dynamic-indexed triangle loops fault Mosaic (known issue), so
@@ -120,20 +123,21 @@ class TracedScene:
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         if not use_bvh:
-            return TracedScene(scene_data, None, use_pallas, mat_set)
+            return TracedScene(scene_data, None, use_pallas, mat_set, has_nm)
         from .accel.bvh import build_bvh
         from .scene.scene import reorder_triangles
         bvh = build_bvh(_np.asarray(scene_data.p0),
                         _np.asarray(scene_data.p1),
                         _np.asarray(scene_data.p2), max_leaf)
         data = reorder_triangles(scene_data, bvh.order)
-        return TracedScene(data, bvh, use_pallas, mat_set)
+        return TracedScene(data, bvh, use_pallas, mat_set, has_nm)
 
 
 jax.tree_util.register_pytree_node(
     TracedScene,
-    lambda s: ((s.data, s.bvh), (s.use_pallas, s.mat_set)),
-    lambda aux, kids: TracedScene(kids[0], kids[1], aux[0], aux[1]),
+    lambda s: ((s.data, s.bvh), (s.use_pallas, s.mat_set,
+                                 s.has_normal_maps)),
+    lambda aux, kids: TracedScene(kids[0], kids[1], *aux),
 )
 
 
@@ -250,6 +254,8 @@ def trace_wave(scene, cfg: PathConfig, draw, draw2, o, d):
         hit = _scene_intersect(scene, o, d, jnp.full((n,), jnp.inf, f32))
         found = hit["valid"] & active
         it = ia.make_interaction(sd, o, d, hit)
+        if scene.has_normal_maps:
+            it = ia.apply_normal_mapping(sd, it)
 
         # emitted radiance on camera/specular bounces (:418-427)
         le_mask = active & ((st["bounces"] == 0) | st["specular"])

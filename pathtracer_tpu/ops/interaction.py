@@ -92,6 +92,40 @@ def make_interaction(scene, o, d, hit):
     )
 
 
+def apply_normal_mapping(scene, it):
+    """Perturb the shading frame by tangent-space normal maps.
+
+    Ref material/mod.rs:39-78 NormalMaterial: n' = normalize(TBN @ n_tex),
+    then rebuild the tangent frame. We use the orthonormalized (ss, ts, ns)
+    frame as TBN (the reference uses raw dpdu/dpdv and marks its own TBN
+    math known-buggy, material/mod.rs:38).
+    """
+    from .bsdf import eval_texture
+    ntx = scene.mat_normal_tx[it["material"]]
+    has = ntx >= 0
+    rgb = eval_texture(scene, ntx, it["uv"],
+                       jnp.broadcast_to(jnp.asarray([0.5, 0.5, 1.0]),
+                                        it["ns"].shape))
+    n_tan = pm.normalize(2.0 * rgb - 1.0)
+    ns_new = pm.normalize(
+        n_tan[..., 0:1] * it["ss"] + n_tan[..., 1:2] * it["ts"]
+        + n_tan[..., 2:3] * it["ns"])
+    ss0 = it["ss"]
+    ts = jnp.cross(ss0, ns_new)
+    ts_len = pm.norm_sq(ts)
+    ts_n = ts / jnp.sqrt(jnp.maximum(ts_len, 1e-30))[..., None]
+    ss = jnp.where((ts_len > 0.0)[..., None], jnp.cross(ts_n, ns_new), ss0)
+    cs_u, _ = pm.coordinate_system(ns_new)
+    ss = jnp.where((ts_len > 0.0)[..., None], ss, cs_u)
+    out = dict(it)
+    out["ns"] = jnp.where(has[..., None], ns_new, it["ns"])
+    out["ss"] = jnp.where(has[..., None], ss, it["ss"])
+    out["ts"] = jnp.where(has[..., None], jnp.cross(ns_new, ss), it["ts"])
+    out["ng"] = jnp.where(has[..., None],
+                          pm.face_forward(it["ng"], ns_new), it["ng"])
+    return out
+
+
 def emitted_radiance(scene, it, w):
     """Le at a hit toward w (ref light.rs:252-258: one-sided area light).
 

@@ -10,8 +10,9 @@ lights :391-450; KHR_lights_punctual :465-492; --default_lights envmap
 
 PNG base-color and metallic-roughness textures load into the mip-pyramid
 texture pool (channel-split metallic=B/roughness=G, gltf.rs:99-165);
-other image formats fall back to their factors. Alpha-mask cutouts and
-normal maps are pending.
+other image formats fall back to their factors; normal maps bind through
+the NormalMaterial-equivalent shading-frame perturbation. Alpha-mask
+cutouts are pending.
 """
 
 from __future__ import annotations
@@ -178,7 +179,11 @@ def _material_row(builder: SceneBuilder, mat: dict,
     roughness = pbr.get("roughnessFactor", 1.0)
     if metallic == 1.0 and roughness == 0.0:
         return builder.add_material(mtype=MAT_MIRROR)
-    kd_tx = metallic_tx = rough_tx = -1
+    kd_tx = metallic_tx = rough_tx = normal_tx = -1
+    if gf is not None and "normalTexture" in mat:
+        img = _load_texture_image(gf, mat["normalTexture"]["index"])
+        if img is not None:
+            normal_tx = builder.add_texture_image(img[..., :3])
     if gf is not None and "baseColorTexture" in pbr:
         img = _load_texture_image(gf, pbr["baseColorTexture"]["index"])
         if img is not None:
@@ -197,7 +202,8 @@ def _material_row(builder: SceneBuilder, mat: dict,
     return builder.add_material(
         mtype=MAT_DISNEY, kd=tuple(color),
         eta=(ior,) * 3, misc=(metallic, roughness, 0.0, 0.0),
-        kd_tx=kd_tx, metallic_tx=metallic_tx, rough_tx=rough_tx)
+        kd_tx=kd_tx, metallic_tx=metallic_tx, rough_tx=rough_tx,
+        normal_tx=normal_tx)
 
 
 def load_gltf(path: str, resolution=None, default_lights: bool = False):

@@ -83,6 +83,7 @@ class SceneData:
     mat_ks_tx: Any  # (M,)
     mat_metallic_tx: Any  # (M,)
     mat_rough_tx: Any  # (M,)
+    mat_normal_tx: Any  # (M,) tangent-space normal map (NormalMaterial)
 
     # environment light (single; zeros if absent)
     env_map: Any  # (He, We, 3) equirect radiance (1x1 black if none)
@@ -154,7 +155,7 @@ class SceneBuilder:
             mtype=MAT_MATTE, kd=(0.5, 0.5, 0.5), ks=(0.0, 0.0, 0.0),
             eta=(1.5, 1.5, 1.5), k=(0.0, 0.0, 0.0), rough=(0.0, 0.0),
             misc=(0.0, 0.0, 0.0, 0.0), remap=False,
-            kd_tx=-1, ks_tx=-1, metallic_tx=-1, rough_tx=-1,
+            kd_tx=-1, ks_tx=-1, metallic_tx=-1, rough_tx=-1, normal_tx=-1,
         )
         defaults.update(kwargs)
         self.materials.append(defaults)
@@ -260,7 +261,7 @@ class SceneBuilder:
             mtype=MAT_MATTE, kd=(0.5, 0.5, 0.5), ks=(0, 0, 0),
             eta=(1.5, 1.5, 1.5), k=(0, 0, 0), rough=(0, 0),
             misc=(0, 0, 0, 0), remap=False,
-            kd_tx=-1, ks_tx=-1, metallic_tx=-1, rough_tx=-1)]
+            kd_tx=-1, ks_tx=-1, metallic_tx=-1, rough_tx=-1, normal_tx=-1)]
 
         txds = self.txds or [dict(kind=0, rgb0=(0, 0, 0), rgb1=(0, 0, 0),
                                   scale=(1, 1, 1), uv=(1, 1, 0, 0), image=0,
@@ -335,6 +336,8 @@ class SceneBuilder:
                 [mm["metallic_tx"] for mm in mats], jnp.int32),
             mat_rough_tx=jnp.asarray(
                 [mm["rough_tx"] for mm in mats], jnp.int32),
+            mat_normal_tx=jnp.asarray(
+                [mm["normal_tx"] for mm in mats], jnp.int32),
             txd_kind=jnp.asarray([t["kind"] for t in txds], jnp.int32),
             txd_rgb0=_as_f32([t["rgb0"] for t in txds]),
             txd_rgb1=_as_f32([t["rgb1"] for t in txds]),

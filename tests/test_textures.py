@@ -120,3 +120,51 @@ def test_textured_render_smoke():
     # both checker colors visible: some red-dominant, some blue-dominant
     assert (lit[:, 0] > 2 * lit[:, 2]).any()
     assert (lit[:, 2] > 2 * lit[:, 0]).any()
+
+
+def test_normal_mapping_tilts_shading():
+    """A normal map tilting all normals changes the cosine falloff
+    (NormalMaterial parity, material/mod.rs:39-78)."""
+    import jax.numpy as jnp
+    from pathtracer_tpu.ops.interaction import (apply_normal_mapping,
+                                                make_interaction)
+    from pathtracer_tpu.ops.intersect import intersect_brute
+    from pathtracer_tpu.integrator import TracedScene
+
+    def build(with_map):
+        b = SceneBuilder()
+        if with_map:
+            # constant normal map tilting 45 deg toward +u
+            nm = np.zeros((2, 2, 3), np.float32)
+            nm[...] = [0.5 + 0.3535, 0.5, 0.8535]  # (0.707,0,0.707)/2+0.5
+            tx = b.add_texture_image(nm)
+            mat = b.add_material(mtype=MAT_MATTE, normal_tx=tx)
+        else:
+            mat = b.add_material(mtype=MAT_MATTE)
+        pos = np.array([[-1, 0, -1], [1, 0, -1], [1, 0, 1], [-1, 0, 1]],
+                       np.float32)
+        idx = np.array([[0, 1, 2], [0, 2, 3]])
+        nrm = np.tile(np.array([[0, 1, 0]], np.float32), (4, 1))
+        b.add_mesh(pos, idx, nrm,
+                   np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32),
+                   mat)
+        return b.build()
+
+    o = jnp.asarray([[0.2, 2.0, 0.1]], jnp.float32)
+    d = jnp.asarray([[0.0, -1.0, 0.0]], jnp.float32)
+    tmax = jnp.asarray([np.inf], jnp.float32)
+
+    for with_map, want_tilt in [(False, False), (True, True)]:
+        sd = build(with_map)
+        hit = intersect_brute(o, d, tmax, sd.p0, sd.p1, sd.p2)
+        it = make_interaction(sd, o, d, hit)
+        it = apply_normal_mapping(sd, it)
+        ns = np.asarray(it["ns"])[0]
+        if want_tilt:
+            assert abs(ns[1] - 0.707) < 0.02 and abs(abs(ns[0]) - 0.707) < 0.05, ns
+        else:
+            np.testing.assert_allclose(ns, [0, 1, 0], atol=1e-5)
+        # frame stays orthonormal
+        ss, ts = np.asarray(it["ss"])[0], np.asarray(it["ts"])[0]
+        assert abs(np.dot(ss, ns)) < 1e-4 and abs(np.dot(ts, ns)) < 1e-4
+        assert abs(np.dot(ss, ts)) < 1e-4
