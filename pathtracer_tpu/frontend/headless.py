@@ -54,6 +54,9 @@ def run(camera, scene, integrator: PathIntegrator, output_path: str,
              time.perf_counter() - t0,
              integrator.last_ray_count / max(time.perf_counter() - t0, 1e-9)
              / 1e6)
+    if integrator.bad_sample_count:
+        log.error("non-finite/negative radiance in %d samples (zeroed)",
+                  int(integrator.bad_sample_count))
     if tev.connected:
         tev.update_image(np.asarray(to_rgb(film)))
         tev.close()

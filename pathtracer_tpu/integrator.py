@@ -330,9 +330,13 @@ def trace_wave(scene, cfg: PathConfig, draw, draw2, o, d):
 
     final = jax.lax.while_loop(cond, body, state)
     out = final["l"]
+    # numeric-sanity watchdog (ref integrator.rs:581-604 logs NaN/negative/
+    # infinite radiance per sample; here we count and optionally zero them)
+    bad = ~jnp.isfinite(out) | (out < -1e-5)
+    n_bad = jnp.sum(jnp.any(bad, axis=-1).astype(jnp.float32))
     if cfg.sanitize:
         out = jnp.where(jnp.isfinite(out), out, 0.0)
-    return out, final["rays"]
+    return out, final["rays"], n_bad
 
 
 @functools.partial(jax.jit,
@@ -357,7 +361,7 @@ def render_band(scene, cfg: PathConfig, spp: int, band_shape: tuple[int, int],
     valid = valid_lanes.reshape(th, tw)
 
     def per_frame(s, carry):
-        film_pad, rays_total = carry
+        film_pad, rays_total, bad_total = carry
         if cfg.sampler == "sobol":
             idx_lo, idx_hi = sb.sobol_index(
                 b_base, frame_delta[s], frame_lo[s], frame_hi[s],
@@ -397,15 +401,15 @@ def render_band(scene, cfg: PathConfig, spp: int, band_shape: tuple[int, int],
             jy = draw(1)
         p_film = jnp.stack([pxf + jx, pyf + jy], axis=-1)
         o, d = generate_rays(r2c, cam_rot, cam_pos, p_film)
-        radiance, rays = trace_wave(scene, cfg, draw, draw2, o, d)
+        radiance, rays, n_bad = trace_wave(scene, cfg, draw, draw2, o, d)
         tile = splat_tile(radiance.reshape(th, tw, 3),
                           jx.reshape(th, tw), jy.reshape(th, tw),
                           valid, filter_f1d)
         film_pad = film_pad_accumulate(film_pad, tile, band_x0, band_y0)
-        return film_pad, rays_total + rays
+        return film_pad, rays_total + rays, bad_total + n_bad
 
     return jax.lax.fori_loop(0, spp, per_frame,
-                             (film_pad, jnp.float32(0.0)))
+                             (film_pad, jnp.float32(0.0), jnp.float32(0.0)))
 
 
 class PathIntegrator:
@@ -423,6 +427,7 @@ class PathIntegrator:
         self.filter_f1d = tuple(float(v) for v in f1d)
         self.band_rows = band_rows
         self.last_ray_count = 0.0
+        self.bad_sample_count = 0.0
 
     def render(self, camera: Camera, scene) -> jnp.ndarray:
         """Returns the (H, W, 4) film accumulator."""
@@ -444,6 +449,7 @@ class PathIntegrator:
         if not isinstance(scene, TracedScene):
             scene = TracedScene.create(scene)
         self.last_ray_count = 0.0
+        self.bad_sample_count = 0.0
         w, h = camera.resolution
         (x0, y0), (x1, y1) = sample_bounds(w, h, self.filter_radius)
         ws, hs = x1 - x0, y1 - y0
@@ -499,7 +505,7 @@ class PathIntegrator:
                 frame_lo[i], frame_hi[i], frame_delta[i] = \
                     sb.frame_statics(domain, s0 + i)
             for by0, px, py, valid, b_base, scramble in bands:
-                film_pad, rays = render_band(
+                film_pad, rays, n_bad = render_band(
                     scene, self.cfg, n_frames, (band, ws), valid, film_pad,
                     jnp.int32(x0), jnp.int32(by0), px, py, b_base, scramble,
                     jnp.asarray(frame_lo), jnp.asarray(frame_hi),
@@ -510,6 +516,7 @@ class PathIntegrator:
                     jnp.float32(domain.p_min[1]),
                     total_spp_log2=pm.log2_int(self.spp))
                 self.last_ray_count += float(rays)
+                self.bad_sample_count += float(n_bad)
             if callback is not None:
                 callback(film_crop(film_pad, w, h), s0 + n_frames)
             if checkpoint:

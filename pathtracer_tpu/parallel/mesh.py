@@ -89,7 +89,7 @@ def render_sharded(camera, scene, mesh: Mesh, cfg: PathConfig = PathConfig(),
     def shard_render(scene_rep, y0_s, px_s, py_s, b_base_s, scr_s):
         film_local = film_pad_new(w, h, extra_rows=band)
         valid_s = py_s < y1
-        film_local, _rays = render_band(
+        film_local, _rays, _bad = render_band(
             scene_rep, cfg, spp, (band, ws), valid_s, film_local,
             jnp.int32(x0), y0_s[0], px_s, py_s, b_base_s, scr_s,
             jnp.asarray(frame_lo), jnp.asarray(frame_hi),
