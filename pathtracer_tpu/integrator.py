@@ -207,8 +207,7 @@ def estimate_direct(scene, cfg, it, mp, u_scatt, u_light, light_idx,
                               sd.area_light_id[hit2["tri"]], -1)
     hit_the_light = hit2["valid"] & (hit_tri_light == light_idx) & \
         (sd.light_type[light_idx] == 0)
-    it2 = ia.make_interaction(sd, o2, wi2_w, hit2)
-    li2_hit = ia.emitted_radiance(sd, it2, -wi2_w)
+    li2_hit = ia.emitted_radiance_at_hit(sd, hit2, -wi2_w)
     li2_env = jnp.where((ls["is_env"] & ~hit2["valid"])[..., None],
                         lt.env_le(sd, wi2_w), 0.0)
     li2 = jnp.where(hit_the_light[..., None], li2_hit, li2_env)
@@ -270,18 +269,24 @@ def trace_wave(scene, cfg: PathConfig, draw, draw2, o, d):
         mp = bx.gather_params(sd, it["material"], it["uv"])
         wo = -d
 
-        # --- NEE (:443-447) for materials with non-specular lobes
-        nonspec = bx.has_nonspecular(mp["mtype"]) & cont
-        u_light = draw2(dim_base + DIM_U_LIGHT)
-        u_scatt = draw2(dim_base + DIM_U_SCATTER)
-        u_pick = draw(dim_base + DIM_LIGHT_PICK)
-        n_l = sd.n_lights.astype(f32)
-        light_idx = jnp.minimum((u_pick * n_l).astype(jnp.int32),
-                                sd.n_lights - 1)
-        ld = estimate_direct(scene, cfg, it, mp, u_scatt, u_light,
-                             light_idx, wo)
-        l = l + jnp.where(nonspec[..., None], beta * ld * n_l[..., None], 0.0)
-        rays = rays + 2.0 * jnp.sum(nonspec.astype(f32))  # shadow + MIS
+        # --- NEE (:443-447) for materials with non-specular lobes;
+        # statically skipped for specular-only scenes
+        from .scene.scene import MAT_GLASS, MAT_MIRROR
+        any_nonspec = any(m not in (MAT_MIRROR, MAT_GLASS)
+                          for m in scene.mat_set)
+        if any_nonspec:
+            nonspec = bx.has_nonspecular(mp["mtype"]) & cont
+            u_light = draw2(dim_base + DIM_U_LIGHT)
+            u_scatt = draw2(dim_base + DIM_U_SCATTER)
+            u_pick = draw(dim_base + DIM_LIGHT_PICK)
+            n_l = sd.n_lights.astype(f32)
+            light_idx = jnp.minimum((u_pick * n_l).astype(jnp.int32),
+                                    sd.n_lights - 1)
+            ld = estimate_direct(scene, cfg, it, mp, u_scatt, u_light,
+                                 light_idx, wo)
+            l = l + jnp.where(nonspec[..., None],
+                              beta * ld * n_l[..., None], 0.0)
+            rays = rays + 2.0 * jnp.sum(nonspec.astype(f32))  # shadow + MIS
 
         # --- BSDF sampling for the next bounce (:449-468)
         u_bsdf = draw2(dim_base + DIM_BSDF)

@@ -139,6 +139,19 @@ def emitted_radiance(scene, it, w):
     return jnp.where((is_emitter & facing)[..., None], ke, 0.0)
 
 
+def emitted_radiance_at_hit(scene, hit, w):
+    """Le at a raw hit record without building the interaction.
+
+    Uses the precomputed per-triangle face-forwarded geometric normal
+    (scene.tri_ng) for the one-sided test (light.rs:252-258)."""
+    tri = hit["tri"]
+    lid = scene.area_light_id[tri]
+    is_emitter = hit["valid"] & (lid >= 0)
+    ke = scene.light_emit[jnp.maximum(lid, 0)]
+    facing = pm.dot(scene.tri_ng[tri], w) > 0.0
+    return jnp.where((is_emitter & facing)[..., None], ke, 0.0)
+
+
 def spawn_ray(p, p_error, n, d):
     """Offset origin robustly along n for direction d (ref interaction.rs:32-39)."""
     return pm.offset_ray_origin(p, p_error, n, d)

@@ -50,6 +50,7 @@ class SceneData:
     uv2: Any
     material_id: Any  # (F,) i32
     area_light_id: Any  # (F,) i32, -1 if not emissive
+    tri_ng: Any  # (F,3) per-tri geometric normal, pre-face-forwarded
 
     # material table (M, ...)
     mat_type: Any  # (M,) i32
@@ -129,6 +130,7 @@ def reorder_triangles(scene: "SceneData", order: np.ndarray) -> "SceneData":
         uv0=scene.uv0[idx], uv1=scene.uv1[idx], uv2=scene.uv2[idx],
         material_id=scene.material_id[idx],
         area_light_id=scene.area_light_id[idx],
+        tri_ng=scene.tri_ng[idx],
         light_tri=light_tri,
     )
 
@@ -251,6 +253,15 @@ class SceneBuilder:
         mat = np.concatenate(self.tri_mat)
         lid = np.concatenate(self.tri_light)
 
+        # per-triangle geometric normal, face-forwarded toward the vertex
+        # normals (constant across a triangle) — lets emission lookups skip
+        # the full interaction build
+        ng = np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0])
+        ng /= np.maximum(np.linalg.norm(ng, axis=-1, keepdims=True), 1e-20)
+        ns_c = n.mean(axis=1)
+        flip = has_n & (np.einsum("fk,fk->f", ng, ns_c) < 0.0)
+        ng = np.where(flip[:, None], -ng, ng).astype(np.float32)
+
         lo = p.reshape(-1, 3).min(0)
         hi = p.reshape(-1, 3).max(0)
         center = (lo + hi) / 2
@@ -322,6 +333,7 @@ class SceneBuilder:
             uv0=_as_f32(uv[:, 0]), uv1=_as_f32(uv[:, 1]), uv2=_as_f32(uv[:, 2]),
             material_id=jnp.asarray(mat, jnp.int32),
             area_light_id=jnp.asarray(lid, jnp.int32),
+            tri_ng=_as_f32(ng),
             mat_type=jnp.asarray([mm["mtype"] for mm in mats], jnp.int32),
             mat_kd=_as_f32([mm["kd"] for mm in mats]),
             mat_ks=_as_f32([mm["ks"] for mm in mats]),
