@@ -128,23 +128,26 @@ def build_bvh(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
         c_lo, c_hi = c.min(0), c.max(0)
         extent = c_hi - c_lo
         axis = int(np.argmax(extent))
-        if extent[axis] <= 0:
-            return leaf()
-        scaled = np.minimum(((c[:, axis] - c_lo[axis]) / extent[axis]
-                             * N_BUCKETS).astype(np.int32), N_BUCKETS - 1)
-        bl, bh = lo[prims], hi[prims]
+        # Degenerate centroid bounds (coincident centroids) must still
+        # SPLIT, not leaf: traversal only tests max_leaf prims per leaf,
+        # so an oversized leaf would silently drop hits. best_split stays
+        # -1 and the equal-count median path below applies.
         best_cost, best_split = np.inf, -1
-        for split in range(N_BUCKETS - 1):
-            left = scaled <= split
-            nl = int(left.sum())
-            nr = len(prims) - nl
-            if nl == 0 or nr == 0:
-                continue
-            cost = 0.125 + (nl * sa(bh[left].max(0) - bl[left].min(0)) +
-                            nr * sa(bh[~left].max(0) - bl[~left].min(0))) / \
-                max(sa(b_hi - b_lo), 1e-20)
-            if cost < best_cost:
-                best_cost, best_split = cost, split
+        if extent[axis] > 0:
+            scaled = np.minimum(((c[:, axis] - c_lo[axis]) / extent[axis]
+                                 * N_BUCKETS).astype(np.int32), N_BUCKETS - 1)
+            bl, bh = lo[prims], hi[prims]
+            for split in range(N_BUCKETS - 1):
+                left = scaled <= split
+                nl = int(left.sum())
+                nr = len(prims) - nl
+                if nl == 0 or nr == 0:
+                    continue
+                cost = 0.125 + (nl * sa(bh[left].max(0) - bl[left].min(0)) +
+                                nr * sa(bh[~left].max(0) - bl[~left].min(0))) \
+                    / max(sa(b_hi - b_lo), 1e-20)
+                if cost < best_cost:
+                    best_cost, best_split = cost, split
         if best_split < 0:
             med = np.argsort(c[:, axis], kind="stable")
             half = len(prims) // 2
@@ -179,8 +182,14 @@ def _slab_test(bmin, bmax, o, inv_d, t_best):
     (ref bounds.rs:198-232 intersect_p_precomp)."""
     t0 = (bmin - o) * inv_d
     t1 = (bmax - o) * inv_d
-    t_near = jnp.minimum(t0, t1)
-    t_far = jnp.maximum(t0, t1) * (1.0 + 2.0 * pm.gamma(3))
+    # 0*inf -> NaN when the origin sits exactly on a slab plane of an axis
+    # with zero direction; that axis is then non-constraining (the origin
+    # is on the slab boundary, i.e. inside) — pbrt lets the NaN comparisons
+    # pass, jnp.min/max would instead propagate it and cull the node.
+    nan_ax = jnp.isnan(t0) | jnp.isnan(t1)
+    t_near = jnp.where(nan_ax, -jnp.inf, jnp.minimum(t0, t1))
+    t_far = jnp.where(nan_ax, jnp.inf,
+                      jnp.maximum(t0, t1) * (1.0 + 2.0 * pm.gamma(3)))
     tn = jnp.max(t_near, axis=-1)
     tf = jnp.min(t_far, axis=-1)
     return (tn <= tf) & (tf > 0.0) & (tn < t_best)

@@ -87,10 +87,12 @@ struct Builder {
     if (ext.y > ext.x) ax = 1;
     if ((&ext.x)[2] > (&ext.x)[ax]) ax = 2;
     float extent = (&ext.x)[ax];
-    if (extent <= 0.f) return make_leaf();
     float c_lo = (&centroid_bounds.lo.x)[ax];
 
-    // bucket sweep
+    // bucket sweep. Degenerate centroid bounds (extent <= 0: coincident
+    // centroids) must still SPLIT, not leaf — traversal only tests
+    // max_leaf prims per leaf, so an oversized leaf would drop hits.
+    // best_split stays -1 there and the equal-count path below applies.
     int counts[kNumBuckets] = {0};
     Bounds buckets[kNumBuckets];
     auto bucket_of = [&](int prim) {
@@ -98,30 +100,33 @@ struct Builder {
       int b = static_cast<int>(((&c.x)[ax] - c_lo) / extent * kNumBuckets);
       return std::min(b, kNumBuckets - 1);
     };
-    for (int i = 0; i < n; ++i) {
-      int b = bucket_of(prims[i]);
-      counts[b]++;
-      buckets[b].grow(prim_bounds[prims[i]]);
-    }
     float best_cost = 1e30f;
     int best_split = -1;
-    for (int split = 0; split < kNumBuckets - 1; ++split) {
-      Bounds bl, br;
-      int nl = 0, nr = 0;
-      for (int b = 0; b <= split; ++b) {
-        if (counts[b]) bl.grow(buckets[b]);
-        nl += counts[b];
+    if (extent > 0.f) {
+      for (int i = 0; i < n; ++i) {
+        int b = bucket_of(prims[i]);
+        counts[b]++;
+        buckets[b].grow(prim_bounds[prims[i]]);
       }
-      for (int b = split + 1; b < kNumBuckets; ++b) {
-        if (counts[b]) br.grow(buckets[b]);
-        nr += counts[b];
-      }
-      if (nl == 0 || nr == 0) continue;
-      float cost = 0.125f + (nl * bl.surface_area() + nr * br.surface_area()) /
-                                std::max(bounds.surface_area(), 1e-20f);
-      if (cost < best_cost) {
-        best_cost = cost;
-        best_split = split;
+      for (int split = 0; split < kNumBuckets - 1; ++split) {
+        Bounds bl, br;
+        int nl = 0, nr = 0;
+        for (int b = 0; b <= split; ++b) {
+          if (counts[b]) bl.grow(buckets[b]);
+          nl += counts[b];
+        }
+        for (int b = split + 1; b < kNumBuckets; ++b) {
+          if (counts[b]) br.grow(buckets[b]);
+          nr += counts[b];
+        }
+        if (nl == 0 || nr == 0) continue;
+        float cost =
+            0.125f + (nl * bl.surface_area() + nr * br.surface_area()) /
+                         std::max(bounds.surface_area(), 1e-20f);
+        if (cost < best_cost) {
+          best_cost = cost;
+          best_split = split;
+        }
       }
     }
 

@@ -112,18 +112,32 @@ def _filter_1d_lookup(fi, f1d):
     return w
 
 
+def splat_halfwidth(radius: float) -> int:
+    """Integer half-width of the splat footprint for a filter radius.
+
+    A sample at discrete position pd = px + j - 0.5 (j in [0,1)) reaches
+    pixel px+dx iff |dx + 0.5 - j| <= radius, i.e. dx in
+    [-floor(r+0.5), floor(r+0.5)] (extra taps get zero weight)."""
+    return int(np.floor(radius + 0.5))
+
+
 def splat_tile(radiance, jx, jy, valid, filter_f1d, radius: float = 2.0):
     """Dense tile splat: one sample per pixel of a (Th, Tw) band.
 
     radiance: (Th, Tw, 3); jx, jy: (Th, Tw) jitters in [0,1); valid:
     (Th, Tw) bool; filter_f1d: host (16,) separable filter row (the 2D
-    table is its outer product). Returns a (4, Th+4, Tw+4) channel-first
-    tile: 25 statically-shifted dense adds replace the reference's
+    table is its outer product); radius: the actual filter radius (static)
+    — it sets both the footprint size and the table-index scale.
+    Returns a (4, Th+2h, Tw+2h) channel-first tile, h = splat_halfwidth:
+    (2h+1)^2 statically-shifted dense adds replace the reference's
     per-sample scatter loop (film.rs:60-106) with identical weights.
     """
     th, tw = radiance.shape[:2]
     f32 = jnp.float32
-    tile = jnp.zeros((4, th + 4, tw + 4), f32)
+    half = splat_halfwidth(radius)
+    pad = 2 * half
+    fp = 2 * half + 1
+    tile = jnp.zeros((4, th + pad, tw + pad), f32)
     inv_r = 1.0 / radius
 
     def axis_weights(j, d):
@@ -135,29 +149,31 @@ def splat_tile(radiance, jx, jy, valid, filter_f1d, radius: float = 2.0):
         w = _filter_1d_lookup(fi, filter_f1d)
         return jnp.where(jnp.abs(off) <= radius, w, 0.0)
 
-    wx = [axis_weights(jx, dx) for dx in range(-2, 3)]
-    wy = [axis_weights(jy, dy) for dy in range(-2, 3)]
+    wx = [axis_weights(jx, dx) for dx in range(-half, half + 1)]
+    wy = [axis_weights(jy, dy) for dy in range(-half, half + 1)]
 
     l_ok = jnp.where(valid[None, ...],
                      jnp.transpose(radiance, (2, 0, 1)), 0.0)  # (3, Th, Tw)
     vmask = valid.astype(f32)
-    for iy in range(5):
-        for ix in range(5):
+    for iy in range(fp):
+        for ix in range(fp):
             w = wy[iy] * wx[ix] * vmask  # (Th, Tw)
             update = jnp.concatenate([l_ok * w[None], w[None]], axis=0)
             # pad+sum beats shifted slice-updates ~2x on TPU (no strided RMW)
             tile = tile + jnp.pad(update,
-                                  ((0, 0), (iy, 4 - iy), (ix, 4 - ix)))
+                                  ((0, 0), (iy, pad - iy), (ix, pad - ix)))
     return tile
 
 
-def film_pad_accumulate(film_pad, tile, band_x0: int, band_y0: int):
-    """Add a (4, Th+4, Tw+4) band tile into the padded film.
+def film_pad_accumulate(film_pad, tile, band_x0: int, band_y0: int,
+                        half: int = 2):
+    """Add a (4, Th+2*half, Tw+2*half) band tile into the padded film.
 
     band_x0/band_y0: raster coords of the band's first pixel (may be
-    negative by the filter radius)."""
-    y = band_y0 - 2 + FILM_PAD
-    x = band_x0 - 2 + FILM_PAD
+    negative by the filter radius); half: the splat half-width the tile
+    was built with (splat_halfwidth(radius))."""
+    y = band_y0 - half + FILM_PAD
+    x = band_x0 - half + FILM_PAD
     th, tw = tile.shape[1], tile.shape[2]
     cur = jax.lax.dynamic_slice(film_pad, (0, y, x), (4, th, tw))
     return jax.lax.dynamic_update_slice(film_pad, cur + tile, (0, y, x))

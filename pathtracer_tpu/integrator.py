@@ -34,7 +34,8 @@ import numpy as np
 from .core import math as pm
 from .core.camera import Camera, generate_rays
 from .core.film import (FILM_PAD, film_crop, film_pad_accumulate,
-                        film_pad_new, sample_bounds, splat_tile)
+                        film_pad_new, sample_bounds, splat_halfwidth,
+                        splat_tile)
 from .core.filter import filter_f1d as make_filter_f1d, make_filter
 from .ops import bsdf as bx
 from .ops import interaction as ia
@@ -346,13 +347,13 @@ def trace_wave(scene, cfg: PathConfig, draw, draw2, o, d):
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "spp", "band_shape", "filter_f1d",
-                                    "total_spp_log2"))
+                                    "total_spp_log2", "filter_radius"))
 def render_band(scene, cfg: PathConfig, spp: int, band_shape: tuple[int, int],
                 valid_lanes, film_pad, band_x0, band_y0, px, py, b_base,
                 scramble, frame_lo, frame_hi, frame_delta, frame_base,
                 inv_lo, inv_hi, r2c, cam_rot, cam_pos, filter_f1d,
                 sobol_pack, sobol_scale, sobol_off_x, sobol_off_y,
-                total_spp_log2: int = 0):
+                total_spp_log2: int = 0, filter_radius: float = 2.0):
     """Render `spp` sampler frames for one row band into the padded film.
 
     band_shape = (Th, Tw); px/py: (Th*Tw,) absolute pixel coords;
@@ -409,8 +410,9 @@ def render_band(scene, cfg: PathConfig, spp: int, band_shape: tuple[int, int],
         radiance, rays, n_bad = trace_wave(scene, cfg, draw, draw2, o, d)
         tile = splat_tile(radiance.reshape(th, tw, 3),
                           jx.reshape(th, tw), jy.reshape(th, tw),
-                          valid, filter_f1d)
-        film_pad = film_pad_accumulate(film_pad, tile, band_x0, band_y0)
+                          valid, filter_f1d, radius=filter_radius)
+        film_pad = film_pad_accumulate(film_pad, tile, band_x0, band_y0,
+                                       half=splat_halfwidth(filter_radius))
         return film_pad, rays_total + rays, bad_total + n_bad
 
     return jax.lax.fori_loop(0, spp, per_frame,
@@ -451,6 +453,10 @@ class PathIntegrator:
         this exact).
         """
         import os
+        # np.savez always appends .npz to extension-less paths; normalize
+        # once so save and the resume check agree on the same file.
+        if checkpoint and not checkpoint.endswith(".npz"):
+            checkpoint = checkpoint + ".npz"
         if not isinstance(scene, TracedScene):
             scene = TracedScene.create(scene)
         self.last_ray_count = 0.0
@@ -519,7 +525,8 @@ class PathIntegrator:
                     jnp.float32(domain.resolution),
                     jnp.float32(domain.p_min[0]),
                     jnp.float32(domain.p_min[1]),
-                    total_spp_log2=pm.log2_int(self.spp))
+                    total_spp_log2=pm.log2_int(self.spp),
+                    filter_radius=self.filter_radius)
                 self.last_ray_count += float(rays)
                 self.bad_sample_count += float(n_bad)
             if callback is not None:

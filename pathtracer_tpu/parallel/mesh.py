@@ -97,7 +97,7 @@ def render_sharded(camera, scene, mesh: Mesh, cfg: PathConfig = PathConfig(),
             r2c, cam_rot, cam_pos, ft, sobol_pack,
             jnp.float32(domain.resolution),
             jnp.float32(domain.p_min[0]), jnp.float32(domain.p_min[1]),
-            total_spp_log2=pm.log2_int(spp))
+            total_spp_log2=pm.log2_int(spp), filter_radius=radius)
         return jax.lax.psum(film_local, "tiles")
 
     film_pad = shard_render(scene, jnp.asarray(band_y0s), jnp.asarray(px),

@@ -75,3 +75,58 @@ def test_bvh_build_structure():
     # interior offsets point forward (DFS layout)
     interior = ~leaves
     assert (offset[interior] > np.nonzero(interior)[0]).all()
+
+
+def test_bvh_degenerate_centroids_split_not_leaf():
+    """Coincident centroids must split (equal-count), never emit a leaf
+    larger than max_leaf — traversal only tests max_leaf prims per leaf."""
+    rng = np.random.default_rng(7)
+    f = 6
+    p0 = rng.uniform(-1, 1, (f, 3)).astype(np.float32)
+    p1 = rng.uniform(-1, 1, (f, 3)).astype(np.float32)
+    p2 = (-(p0 + p1)).astype(np.float32)  # every centroid is exactly 0
+    for native in (False, True):
+        if native:
+            from pathtracer_tpu.accel import cpp
+            if not cpp.available():
+                continue
+        bvh = build_bvh(p0, p1, p2, max_prims=4, native=native)
+        n_prims = np.asarray(bvh.n_prims)
+        assert n_prims.max() <= 4, f"native={native}"
+        assert sorted(np.asarray(bvh.order).tolist()) == list(range(f))
+        # rays at each triangle's interior must hit via BVH as via brute
+        sp0, sp1, sp2 = p0[bvh.order], p1[bvh.order], p2[bvh.order]
+        q = (0.6 * p0 + 0.3 * p1 + 0.1 * p2).astype(np.float32)
+        o = np.tile(np.array([[3.0, 4.0, 5.0]], np.float32), (f, 1))
+        d = q - o
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        o, d = jnp.asarray(o), jnp.asarray(d)
+        tmax = jnp.full(f, np.inf, jnp.float32)
+        hb = intersect_brute(o, d, tmax, jnp.asarray(sp0), jnp.asarray(sp1),
+                             jnp.asarray(sp2))
+        hv = bvh_intersect(bvh, jnp.asarray(sp0), jnp.asarray(sp1),
+                           jnp.asarray(sp2), o, d, tmax)
+        np.testing.assert_array_equal(np.asarray(hb["valid"]),
+                                      np.asarray(hv["valid"]))
+        assert np.asarray(hv["valid"]).all()
+
+
+def test_slab_test_on_plane_zero_direction():
+    """Origin exactly on a slab plane with zero direction in that axis:
+    0*inf = NaN must not cull the node (pbrt lets NaN comparisons pass)."""
+    from pathtracer_tpu.accel.bvh import _slab_test
+    bmin = jnp.asarray([[0.0, 0.0, 0.0]])
+    bmax = jnp.asarray([[1.0, 1.0, 1.0]])
+    o = jnp.asarray([[0.0, -1.0, 0.5]])  # on the x=bmin plane
+    d = np.array([[0.0, 1.0, 0.0]], np.float32)
+    inv_d = jnp.asarray(1.0 / d)
+    hit = _slab_test(bmin, bmax, o, inv_d, jnp.asarray([np.inf]))
+    assert bool(np.asarray(hit)[0])
+    # also from the max plane
+    o2 = jnp.asarray([[1.0, -1.0, 0.5]])
+    hit2 = _slab_test(bmin, bmax, o2, inv_d, jnp.asarray([np.inf]))
+    assert bool(np.asarray(hit2)[0])
+    # a genuinely outside parallel ray must still miss
+    o3 = jnp.asarray([[2.0, -1.0, 0.5]])
+    hit3 = _slab_test(bmin, bmax, o3, inv_d, jnp.asarray([np.inf]))
+    assert not bool(np.asarray(hit3)[0])

@@ -85,3 +85,50 @@ def test_sharded_matches_single(cornell):
     # band boundaries → last-ulp tolerance
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f8),
                                rtol=0, atol=2e-5)
+
+
+@pytest.mark.parametrize("kind", ["gaussian", "triangle"])
+def test_splat_tile_matches_scatter_reference(kind):
+    """Dense band splat == reference-semantics per-sample scatter
+    (film.rs:60-106) for BOTH filter radii (gaussian r=2, triangle r=1)."""
+    from pathtracer_tpu.core.film import (film_crop, film_pad_accumulate,
+                                          film_pad_new, splat_halfwidth,
+                                          splat_tile)
+    from pathtracer_tpu.core.filter import filter_f1d, make_filter
+    h = w = 6
+    rng = np.random.default_rng(3)
+    jx = rng.random((h, w)).astype(np.float32)
+    jy = rng.random((h, w)).astype(np.float32)
+    radiance = rng.random((h, w, 3)).astype(np.float32)
+    f1d, radius = filter_f1d(kind)
+    table, _ = make_filter(kind)
+
+    tile = splat_tile(jnp.asarray(radiance), jnp.asarray(jx),
+                      jnp.asarray(jy), jnp.ones((h, w), bool),
+                      tuple(float(v) for v in f1d), radius=radius)
+    fp = film_pad_new(w, h)
+    fp = film_pad_accumulate(fp, tile, 0, 0, half=splat_halfwidth(radius))
+    film_a = np.asarray(film_crop(fp, w, h))
+
+    xs, ys = np.meshgrid(np.arange(w), np.arange(h), indexing="xy")
+    p = np.stack([xs + jx, ys + jy], -1).reshape(-1, 2).astype(np.float32)
+    film_b = add_samples(film_new(w, h), jnp.asarray(p),
+                         jnp.asarray(radiance.reshape(-1, 3)),
+                         jnp.asarray(table), radius=radius,
+                         footprint=2 * splat_halfwidth(radius) + 1)
+    np.testing.assert_allclose(film_a, np.asarray(film_b),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_checkpoint_path_without_extension(tmp_path, cornell):
+    """--checkpoint foo must save AND resume from foo.npz (np.savez
+    appends the extension; the resume check must agree)."""
+    cam, scene, _ = cornell
+    ck = str(tmp_path / "ck_no_ext")
+    integ = PathIntegrator(PathConfig(max_depth=1), spp=2)
+    f1 = integ.render_progressive(cam, scene, chunk_spp=1, checkpoint=ck)
+    assert (tmp_path / "ck_no_ext.npz").exists()
+    integ2 = PathIntegrator(PathConfig(max_depth=1), spp=2)
+    f2 = integ2.render_progressive(cam, scene, chunk_spp=1, checkpoint=ck)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    assert integ2.last_ray_count == 0.0  # resumed at next_frame == spp
