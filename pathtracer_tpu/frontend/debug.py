@@ -42,9 +42,11 @@ def render_single_pixel(camera, scene, cfg: PathConfig, pixel, spp: int):
             jnp.uint32(flo), jnp.uint32(fhi), inv_lo, inv_hi)
         lo[s], hi[s] = np.asarray(l_)[0], np.asarray(h_)[0]
 
-    bits = sb.index_bits52(jnp.asarray(lo), jnp.asarray(hi))
+    lo_d, hi_d = jnp.asarray(lo), jnp.asarray(hi)
     scr = jnp.asarray(scramble)
-    s01 = sb.sobol_sample_dim2(bits, 0, scr, pack)
+    # dims 0/1 unscrambled, matching render_band's camera-jitter deviation
+    # note (integrator.py) so the debug pixel re-traces the film's samples
+    s01 = sb.sobol_sample_dim2(lo_d, hi_d, 0, jnp.zeros_like(scr), pack)
     jx = jnp.clip(s01[..., 0] * domain.resolution + domain.p_min[0]
                   - px.astype(np.float32), 0.0, pm.ONE_MINUS_EPSILON)
     jy = jnp.clip(s01[..., 1] * domain.resolution + domain.p_min[1]
@@ -55,8 +57,8 @@ def render_single_pixel(camera, scene, cfg: PathConfig, pixel, spp: int):
     for i in range(spp):
         log.debug("sample %d: p_film=%s ray o=%s d=%s", i,
                   np.asarray(p_film)[i], np.asarray(o)[i], np.asarray(d)[i])
-    draw = lambda dim: sb.sobol_sample_dim(bits, dim, scr, pack)
-    draw2 = lambda dim: sb.sobol_sample_dim2(bits, dim, scr, pack)
+    draw = lambda dim: sb.sobol_sample_dim(lo_d, hi_d, dim, scr, pack)
+    draw2 = lambda dim: sb.sobol_sample_dim2(lo_d, hi_d, dim, scr, pack)
     radiance, rays, _bad = trace_wave(scene, cfg, draw, draw2, o, d)
     radiance = np.asarray(radiance)
     for i in range(spp):

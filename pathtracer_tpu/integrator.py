@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -92,10 +93,12 @@ def _scene_intersect_p(scene, o, d, t_max):
 
 @dataclasses.dataclass(frozen=True)
 class TracedScene:
-    """SceneData plus an optional BVH, as one pytree-ish handle.
+    """SceneData plus an optional BVH and packed gather tables.
 
     use_pallas routes brute-force intersection through the Pallas kernel
-    (TPU backends only; the XLA fallback serves CPU tests).
+    (TPU backends only; the XLA fallback serves CPU tests). tri_attr /
+    light_attr / mat_attr are the packed per-row attribute matrices the hot
+    path gathers from (scene/scene.py pack_*; ops/gather.py take_rows).
     """
 
     data: "SceneData"  # noqa: F821
@@ -104,18 +107,35 @@ class TracedScene:
     # static set of material types present — absent BSDF models compile out
     mat_set: tuple = (0, 1, 2, 3, 4, 5)
     has_normal_maps: bool = False
+    tri_attr: Any = None  # (F, TA_WIDTH)
+    light_attr: Any = None  # (L, LA_WIDTH)
+    mat_attr: Any = None  # (M, MA_WIDTH)
+    # static: any used material binds a texture (kd/ks/metallic/rough)
+    has_tex: bool = True
+    # static: environment light present / number of lights / light types
+    # present (compile-time specialization: env lookups, NEE and absent
+    # light-type branches compile out)
+    has_env: bool = True
+    n_lights: int = 1
+    light_set: tuple = (0, 1, 2, 3)
 
     @staticmethod
     def create(scene_data, use_bvh: bool | None = None,
                max_leaf: int = 4,
                use_pallas: bool | None = None) -> "TracedScene":
         import numpy as _np
+        from .scene.scene import (pack_light_attr, pack_mat_attr,
+                                  pack_tri_attr, reorder_triangles)
         f = int(scene_data.p0.shape[0])
         used_mats = _np.unique(_np.asarray(scene_data.material_id))
         mat_set = tuple(sorted(set(
             _np.asarray(scene_data.mat_type)[used_mats].tolist())))
         has_nm = bool(
             (_np.asarray(scene_data.mat_normal_tx)[used_mats] >= 0).any())
+        has_tex = bool(max(
+            (_np.asarray(tx)[used_mats] >= 0).any()
+            for tx in (scene_data.mat_kd_tx, scene_data.mat_ks_tx,
+                       scene_data.mat_metallic_tx, scene_data.mat_rough_tx)))
         if use_bvh is None:
             # pallas brute force (fully unrolled kernel) for tiny scenes;
             # dynamic-indexed triangle loops fault Mosaic (known issue), so
@@ -123,22 +143,35 @@ class TracedScene:
             use_bvh = f > 128
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
-        if not use_bvh:
-            return TracedScene(scene_data, None, use_pallas, mat_set, has_nm)
-        from .accel.bvh import build_bvh
-        from .scene.scene import reorder_triangles
-        bvh = build_bvh(_np.asarray(scene_data.p0),
-                        _np.asarray(scene_data.p1),
-                        _np.asarray(scene_data.p2), max_leaf)
-        data = reorder_triangles(scene_data, bvh.order)
-        return TracedScene(data, bvh, use_pallas, mat_set, has_nm)
+        bvh = None
+        if use_bvh:
+            from .accel.bvh import build_bvh
+            bvh = build_bvh(_np.asarray(scene_data.p0),
+                            _np.asarray(scene_data.p1),
+                            _np.asarray(scene_data.p2), max_leaf)
+            scene_data = reorder_triangles(scene_data, bvh.order)
+        return TracedScene(
+            scene_data, bvh, use_pallas, mat_set, has_nm,
+            tri_attr=pack_tri_attr(scene_data),
+            light_attr=pack_light_attr(scene_data),
+            mat_attr=pack_mat_attr(scene_data),
+            has_tex=has_tex,
+            has_env=bool(_np.asarray(scene_data.has_env)),
+            n_lights=int(_np.asarray(scene_data.n_lights)),
+            light_set=tuple(sorted(set(
+                _np.asarray(scene_data.light_type).tolist())))
+            if int(_np.asarray(scene_data.n_lights)) > 0 else ())
 
 
 jax.tree_util.register_pytree_node(
     TracedScene,
-    lambda s: ((s.data, s.bvh), (s.use_pallas, s.mat_set,
-                                 s.has_normal_maps)),
-    lambda aux, kids: TracedScene(kids[0], kids[1], *aux),
+    lambda s: ((s.data, s.bvh, s.tri_attr, s.light_attr, s.mat_attr),
+               (s.use_pallas, s.mat_set, s.has_normal_maps, s.has_tex,
+                s.has_env, s.n_lights, s.light_set)),
+    lambda aux, kids: TracedScene(
+        kids[0], kids[1], aux[0], aux[1], aux[2],
+        tri_attr=kids[2], light_attr=kids[3], mat_attr=kids[4],
+        has_tex=aux[3], has_env=aux[4], n_lights=aux[5], light_set=aux[6]),
 )
 
 
@@ -159,12 +192,14 @@ def estimate_direct(scene, cfg, it, mp, u_scatt, u_light, light_idx,
     Ref integrator.rs:23-139. Returns (N, 3) radiance estimate (pre
     num_lights scaling).
     """
+    from .ops.gather import take_rows
     sd = scene.data
     n = wo_world.shape[0]
     ld = jnp.zeros((n, 3), jnp.float32)
 
-    ls = lt.sample_li(sd, light_idx, it["p"], it["p_error"], it["ng"],
-                      u_light)
+    light_rows = take_rows(scene.light_attr, light_idx)
+    ls = lt.sample_li(sd, light_rows, it["p"], it["p_error"], it["ng"],
+                      u_light, light_set=scene.light_set)
     wi = ls["wi"]
 
     # --- light-sample branch (integrator.rs:44-80)
@@ -196,22 +231,22 @@ def estimate_direct(scene, cfg, it, mp, u_scatt, u_light, light_idx,
     wi2_w = _to_world(it, bs["wi"])
     f2 = bs["f"] * jnp.abs(pm.dot(wi2_w, it["ns"]))[..., None]
     branch2 = (~ls["is_delta"]) & jnp.any(f2 != 0.0, axis=-1) & (bs["pdf"] > 0.0)
-    light_pdf2 = lt.pdf_li(sd, light_idx, it["p"], it["p_error"],
-                           it["ng"], wi2_w)
+    light_pdf2 = lt.pdf_li(sd, light_rows, it["p"], it["p_error"],
+                           it["ng"], wi2_w, light_set=scene.light_set)
     w2 = pm.power_heuristic(1.0, bs["pdf"], 1.0, light_pdf2)
     branch2 = branch2 & (light_pdf2 > 0.0)
 
     o2 = ia.spawn_ray(it["p"], it["p_error"], it["ng"], wi2_w)
     hit2 = _scene_intersect(scene, o2, wi2_w,
                             jnp.full((n,), jnp.inf, jnp.float32))
-    hit_tri_light = jnp.where(hit2["valid"],
-                              sd.area_light_id[hit2["tri"]], -1)
+    li2_hit, hit_tri_light = ia.hit_emission(scene.tri_attr, hit2, -wi2_w)
     hit_the_light = hit2["valid"] & (hit_tri_light == light_idx) & \
-        (sd.light_type[light_idx] == 0)
-    li2_hit = ia.emitted_radiance_at_hit(sd, hit2, -wi2_w)
-    li2_env = jnp.where((ls["is_env"] & ~hit2["valid"])[..., None],
-                        lt.env_le(sd, wi2_w), 0.0)
-    li2 = jnp.where(hit_the_light[..., None], li2_hit, li2_env)
+        (ls["is_area"])
+    li2 = jnp.where(hit_the_light[..., None], li2_hit, 0.0)
+    if scene.has_env:
+        li2_env = jnp.where((ls["is_env"] & ~hit2["valid"])[..., None],
+                            lt.env_le(sd, wi2_w), 0.0)
+        li2 = jnp.where(hit_the_light[..., None], li2, li2_env)
     contrib2 = f2 * li2 * w2[..., None] / jnp.maximum(bs["pdf"], 1e-20)[..., None]
     ld = ld + jnp.where(branch2[..., None], contrib2, 0.0)
     return ld
@@ -222,71 +257,79 @@ def trace_wave(scene, cfg: PathConfig, draw, draw2, o, d):
 
     draw(dim) / draw2(dim) produce one/two sampler dimensions for the whole
     wave (closures over the sampler state built in render_band). Dead lanes
-    are masked; the loop exits when every lane is dead or the depth cap is
-    reached (ref li(), :392-503).
+    are masked (ref li(), :392-503).
+
+    The bounce loop is STATICALLY UNROLLED (python loop, not
+    lax.while_loop): every Sobol dimension becomes a compile-time constant
+    (a traced dim forced one serialized dynamic-slice of the direction
+    table per draw — ~7 ms/bounce on a 131k wave), RR compiles out below
+    rr_start_depth, the final iteration keeps only the Le lookup, and XLA
+    fuses across bounce boundaries. A full wave virtually always has some
+    lane alive until max_depth, so the while_loop's early exit bought
+    nothing.
     """
     sd = scene.data
     n = o.shape[0]
     f32 = jnp.float32
+    from .scene.scene import MAT_GLASS, MAT_MIRROR
+    any_nonspec = any(m not in (MAT_MIRROR, MAT_GLASS)
+                      for m in scene.mat_set)
+    do_nee = any_nonspec and scene.n_lights > 0
 
-    state = dict(
-        o=o, d=d,
-        l=jnp.zeros((n, 3), f32),
-        beta=jnp.ones((n, 3), f32),
-        active=jnp.ones((n,), bool),
-        specular=jnp.zeros((n,), bool),
-        eta_scale=jnp.ones((n,), f32),
-        bounces=jnp.int32(0),
-        rays=jnp.float32(0.0),
-    )
+    l = jnp.zeros((n, 3), f32)
+    beta = jnp.ones((n, 3), f32)
+    active = jnp.ones((n,), bool)
+    specular = jnp.zeros((n,), bool)
+    eta_scale = jnp.ones((n,), f32)
+    rays = jnp.float32(0.0)
 
-    def cond(st):
-        return (st["bounces"] <= cfg.max_depth) & jnp.any(st["active"])
+    for bounce in range(cfg.max_depth + 1):
+        last = bounce == cfg.max_depth
+        dim_base = 2 + DIMS_PER_BOUNCE * bounce
 
-    def body(st):
-        o, d = st["o"], st["d"]
-        active = st["active"]
-        beta = st["beta"]
-        l = st["l"]
-        dim_base = 2 + DIMS_PER_BOUNCE * st["bounces"]
-
-        rays = st["rays"] + jnp.sum(active.astype(f32))
+        rays = rays + jnp.sum(active.astype(f32))
         hit = _scene_intersect(scene, o, d, jnp.full((n,), jnp.inf, f32))
         found = hit["valid"] & active
-        it = ia.make_interaction(sd, o, d, hit)
-        if scene.has_normal_maps:
-            it = ia.apply_normal_mapping(sd, it)
 
         # emitted radiance on camera/specular bounces (:418-427)
-        le_mask = active & ((st["bounces"] == 0) | st["specular"])
-        le_hit = ia.emitted_radiance(sd, it, -d)
+        le_mask = active if bounce == 0 else (active & specular)
+        if last:
+            # only Le survives the final bounce — skip the frame build
+            le_hit, _ = ia.hit_emission(scene.tri_attr, hit, -d)
+        else:
+            it = ia.make_interaction(sd, o, d, hit, scene.tri_attr)
+            if scene.has_normal_maps:
+                it = ia.apply_normal_mapping(sd, it)
+            le_hit = ia.emitted_radiance(it, -d)
         l = l + jnp.where((le_mask & found)[..., None], beta * le_hit, 0.0)
-        le_env = lt.env_le(sd, d)
-        l = l + jnp.where((le_mask & ~hit["valid"])[..., None],
-                          beta * le_env, 0.0)
+        if scene.has_env:
+            le_env = lt.env_le(sd, d)
+            l = l + jnp.where((le_mask & ~hit["valid"])[..., None],
+                              beta * le_env, 0.0)
+        if last:
+            break
 
-        cont = found & (st["bounces"] < cfg.max_depth)
-
-        mp = bx.gather_params(sd, it["material"], it["uv"])
+        cont = found
+        mp = bx.gather_params(sd, it["material"], it["uv"],
+                              mat_attr=scene.mat_attr, has_tex=scene.has_tex)
         wo = -d
 
         # --- NEE (:443-447) for materials with non-specular lobes;
-        # statically skipped for specular-only scenes
-        from .scene.scene import MAT_GLASS, MAT_MIRROR
-        any_nonspec = any(m not in (MAT_MIRROR, MAT_GLASS)
-                          for m in scene.mat_set)
-        if any_nonspec:
+        # statically skipped for specular-only or lightless scenes
+        if do_nee:
             nonspec = bx.has_nonspecular(mp["mtype"]) & cont
             u_light = draw2(dim_base + DIM_U_LIGHT)
             u_scatt = draw2(dim_base + DIM_U_SCATTER)
-            u_pick = draw(dim_base + DIM_LIGHT_PICK)
-            n_l = sd.n_lights.astype(f32)
-            light_idx = jnp.minimum((u_pick * n_l).astype(jnp.int32),
-                                    sd.n_lights - 1)
+            n_l = np.float32(scene.n_lights)
+            if scene.n_lights > 1:
+                u_pick = draw(dim_base + DIM_LIGHT_PICK)
+                light_idx = jnp.minimum((u_pick * n_l).astype(jnp.int32),
+                                        scene.n_lights - 1)
+            else:
+                light_idx = jnp.zeros((n,), jnp.int32)
             ld = estimate_direct(scene, cfg, it, mp, u_scatt, u_light,
                                  light_idx, wo)
-            l = l + jnp.where(nonspec[..., None],
-                              beta * ld * n_l[..., None], 0.0)
+            l = l + jnp.where(nonspec[..., None], beta * ld * n_l, 0.0)
             rays = rays + 2.0 * jnp.sum(nonspec.astype(f32))  # shadow + MIS
 
         # --- BSDF sampling for the next bounce (:449-468)
@@ -304,25 +347,25 @@ def trace_wave(scene, cfg: PathConfig, draw, draw2, o, d):
             (cos_ns / jnp.maximum(bs["pdf"], 1e-20))[..., None]
         cont2 = cont & ~dead
         beta = jnp.where(cont2[..., None], new_beta, beta)
-        specular = jnp.where(cont2, bs["specular"], st["specular"])
+        specular = jnp.where(cont2, bs["specular"], specular)
 
-        # eta_scale for RR through glass (:471-480)
-        spec_trans = bs["specular"] & bs["transmission"]
-        eta = mp["eta"]
-        scale = jnp.where(pm.dot(wo, it["ng"]) > 0.0, eta * eta,
-                          1.0 / jnp.maximum(eta * eta, 1e-20))
-        eta_scale = jnp.where(cont2 & spec_trans,
-                              st["eta_scale"] * scale, st["eta_scale"])
+        # eta_scale for RR through glass (:471-480); only glass scenes
+        if MAT_GLASS in scene.mat_set and cfg.rr_enable:
+            spec_trans = bs["specular"] & bs["transmission"]
+            eta = mp["eta"]
+            scale = jnp.where(pm.dot(wo, it["ng"]) > 0.0, eta * eta,
+                              1.0 / jnp.maximum(eta * eta, 1e-20))
+            eta_scale = jnp.where(cont2 & spec_trans,
+                                  eta_scale * scale, eta_scale)
 
         new_o = ia.spawn_ray(it["p"], it["p_error"], it["ng"], wi_w)
         o = jnp.where(cont2[..., None], new_o, o)
         d = jnp.where(cont2[..., None], wi_w, d)
 
-        # --- Russian roulette (:486-497)
-        if cfg.rr_enable:
+        # --- Russian roulette (:486-497): compiles out below start depth
+        if cfg.rr_enable and bounce > cfg.rr_start_depth:
             rr_beta_max = jnp.max(beta * eta_scale[..., None], axis=-1)
-            rr_gate = cont2 & (rr_beta_max < cfg.rr_threshold) & \
-                (st["bounces"] > cfg.rr_start_depth)
+            rr_gate = cont2 & (rr_beta_max < cfg.rr_threshold)
             u_rr = draw(dim_base + DIM_RR)
             q = jnp.maximum(0.05, 1.0 - rr_beta_max)
             rr_kill = rr_gate & (u_rr < q)
@@ -330,19 +373,16 @@ def trace_wave(scene, cfg: PathConfig, draw, draw2, o, d):
                              beta / (1.0 - q)[..., None], beta)
             cont2 = cont2 & ~rr_kill
 
-        return dict(o=o, d=d, l=l, beta=beta, active=cont2,
-                    specular=specular, eta_scale=eta_scale,
-                    bounces=st["bounces"] + 1, rays=rays)
+        active = cont2
 
-    final = jax.lax.while_loop(cond, body, state)
-    out = final["l"]
+    out = l
     # numeric-sanity watchdog (ref integrator.rs:581-604 logs NaN/negative/
     # infinite radiance per sample; here we count and optionally zero them)
     bad = ~jnp.isfinite(out) | (out < -1e-5)
     n_bad = jnp.sum(jnp.any(bad, axis=-1).astype(jnp.float32))
     if cfg.sanitize:
         out = jnp.where(jnp.isfinite(out), out, 0.0)
-    return out, final["rays"], n_bad
+    return out, rays, n_bad
 
 
 @functools.partial(jax.jit,
@@ -372,11 +412,10 @@ def render_band(scene, cfg: PathConfig, spp: int, band_shape: tuple[int, int],
             idx_lo, idx_hi = sb.sobol_index(
                 b_base, frame_delta[s], frame_lo[s], frame_hi[s],
                 inv_lo, inv_hi)
-            bits52 = sb.index_bits52(idx_lo, idx_hi)
             draw = lambda dim: sb.sobol_sample_dim(
-                bits52, dim, scramble, sobol_pack)
+                idx_lo, idx_hi, dim, scramble, sobol_pack)
             draw2 = lambda dim: sb.sobol_sample_dim2(
-                bits52, dim, scramble, sobol_pack)
+                idx_lo, idx_hi, dim, scramble, sobol_pack)
             # camera: dims 0,1 remapped into the pixel. DEVIATION: drawn
             # UNSCRAMBLED — the interval-to-index property (each pixel's
             # indices land in its own cell) only holds for the raw
@@ -384,7 +423,7 @@ def render_band(scene, cfg: PathConfig, spp: int, band_shape: tuple[int, int],
             # 0/1 too (sampler/sobol.rs:185-192), which defeats the remap
             # and collapses most camera jitters to the clamp bounds.
             # PBRT's SobolSampler leaves dims 0/1 unscrambled.
-            s01 = sb.sobol_sample_dim2(bits52, 0,
+            s01 = sb.sobol_sample_dim2(idx_lo, idx_hi, 0,
                                        jnp.zeros_like(scramble), sobol_pack)
             jx = jnp.clip(s01[..., 0] * sobol_scale + sobol_off_x - pxf,
                           0.0, pm.ONE_MINUS_EPSILON)

@@ -275,24 +275,34 @@ def eval_texture(scene, txd_id, uv, fallback, width=0.0):
 
 
 # ---------------------------------------------------------------- materials
-def gather_params(scene, mat_id, uv=None):
-    """Per-ray material parameter gather from the material table.
+def gather_params(scene, mat_id, uv=None, mat_attr=None, has_tex=True):
+    """Per-ray material parameter gather from the packed material table.
 
-    With uv given, texture-bound parameters (kd/ks/metallic/roughness)
+    mat_attr: (M, MA_WIDTH) packed rows (TracedScene.mat_attr); built on
+    the fly from SceneData when omitted (test convenience). With uv given
+    AND has_tex, texture-bound parameters (kd/ks/metallic/roughness)
     evaluate their descriptors (compute_scattering_functions texture evals,
-    material/*.rs)."""
-    ax_raw = scene.mat_rough[mat_id, 0]
-    ay_raw = scene.mat_rough[mat_id, 1]
-    remap = scene.mat_remap[mat_id]
+    material/*.rs); texture-free scenes compile all of that out.
+    """
+    from ..scene.scene import (MA_ETA, MA_K, MA_KD, MA_KS, MA_MISC,
+                               MA_REMAP, MA_ROUGH, MA_TYPE, pack_mat_attr)
+    from .gather import take_rows
+    if mat_attr is None:
+        mat_attr = pack_mat_attr(scene)
+    rows = take_rows(mat_attr, mat_id)
+    rough = rows[:, MA_ROUGH]
+    ax_raw, ay_raw = rough[:, 0], rough[:, 1]
+    remap = rows[:, MA_REMAP] > 0.5
     ax = jnp.where(remap, roughness_to_alpha(ax_raw), ax_raw)
     ay = jnp.where(remap, roughness_to_alpha(ay_raw), ay_raw)
-    mtype = scene.mat_type[mat_id]
+    mtype = rows[:, MA_TYPE].astype(jnp.int32)
     # Disney derives its own alphas: max(0.001, roughness^2) (disney.rs:220-222)
-    kd = scene.mat_kd[mat_id]
-    ks = scene.mat_ks[mat_id]
-    metallic = scene.mat_misc[mat_id, 0]
-    rough_d = scene.mat_misc[mat_id, 1]
-    if uv is not None:
+    kd = rows[:, MA_KD]
+    ks = rows[:, MA_KS]
+    misc = rows[:, MA_MISC]
+    metallic = misc[:, 0]
+    rough_d = misc[:, 1]
+    if uv is not None and has_tex:
         kd = eval_texture(scene, scene.mat_kd_tx[mat_id], uv, kd)
         ks = eval_texture(scene, scene.mat_ks_tx[mat_id], uv, ks)
         metallic = eval_texture(
@@ -308,9 +318,9 @@ def gather_params(scene, mat_id, uv=None):
         mtype=mtype,
         kd=kd,
         ks=ks,
-        eta3=scene.mat_eta[mat_id],
-        eta=scene.mat_eta[mat_id, 0],
-        k=scene.mat_k[mat_id],
+        eta3=rows[:, MA_ETA],
+        eta=rows[:, MA_ETA][:, 0],
+        k=rows[:, MA_K],
         ax=ax, ay=ay,
         metallic=metallic,
     )

@@ -13,54 +13,43 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..core import math as pm
+from ..scene.scene import (TA_DPDU, TA_DPDV, TA_HASN, TA_KE, TA_LID, TA_MAT,
+                           TA_N0, TA_N1, TA_N2, TA_NG0, TA_NGF, TA_P0, TA_P1,
+                           TA_P2, TA_UV0, TA_UV1, TA_UV2)
+from .gather import take_rows
 from .intersect import GAMMA7
 
 
-def make_interaction(scene, o, d, hit):
+def make_interaction(scene, o, d, hit, tri_attr):
     """Build SoA interaction data for a batch of hits.
 
     scene: SceneData; o, d: (N, 3) ray origin/dir; hit: dict from
-    intersect_*. Returns a dict of arrays; entries are garbage where
-    hit["valid"] is False (caller masks).
+    intersect_*; tri_attr: (F, TA_WIDTH) packed per-tri attributes — ONE
+    row fetch replaces the dozen separate per-field gathers, and the
+    per-triangle constants (dpdu/dpdv with degenerate fallback, unit
+    geometric normal) are precomputed at scene build. Returns a dict of
+    arrays; entries are garbage where hit["valid"] is False (caller masks).
     """
     tri = hit["tri"]
     b = hit["b"]  # (N, 3)
-    p0 = scene.p0[tri]
-    p1 = scene.p1[tri]
-    p2 = scene.p2[tri]
-    uv0 = scene.uv0[tri]
-    uv1 = scene.uv1[tri]
-    uv2 = scene.uv2[tri]
+    rows = take_rows(tri_attr, tri)  # (N, TA_WIDTH)
+    p0, p1, p2 = rows[:, TA_P0], rows[:, TA_P1], rows[:, TA_P2]
+    uv0, uv1, uv2 = rows[:, TA_UV0], rows[:, TA_UV1], rows[:, TA_UV2]
 
     b0, b1, b2 = b[..., 0:1], b[..., 1:2], b[..., 2:3]
     p_hit = b0 * p0 + b1 * p1 + b2 * p2
     uv_hit = b0 * uv0 + b1 * uv1 + b2 * uv2
     p_error = GAMMA7 * (jnp.abs(b0 * p0) + jnp.abs(b1 * p1) + jnp.abs(b2 * p2))
 
-    # partial derivatives from UV parameterization (ref shape.rs:187-215)
-    duv02 = uv0 - uv2
-    duv12 = uv1 - uv2
-    dp02 = p0 - p2
-    dp12 = p1 - p2
-    det = duv02[..., 0] * duv12[..., 1] - duv02[..., 1] * duv12[..., 0]
-    degenerate = jnp.abs(det) < 1e-8
-    inv_det = 1.0 / jnp.where(degenerate, 1.0, det)
-    dpdu = (duv12[..., 1:2] * dp02 - duv02[..., 1:2] * dp12) * inv_det[..., None]
-    dpdv = (-duv12[..., 0:1] * dp02 + duv02[..., 0:1] * dp12) * inv_det[..., None]
-    bad = degenerate | (pm.norm_sq(jnp.cross(dpdu, dpdv)) == 0.0)
-    ng_raw = jnp.cross(dp02, dp12)
-    fb_u, fb_v = pm.coordinate_system(pm.normalize(ng_raw))
-    dpdu = jnp.where(bad[..., None], fb_u, dpdu)
-    dpdv = jnp.where(bad[..., None], fb_v, dpdv)
-
-    ng = pm.normalize(ng_raw)
+    # partial derivatives from the UV parameterization are per-triangle
+    # constants (ref shape.rs:187-215) — precomputed in pack_tri_attr
+    dpdu = rows[:, TA_DPDU]
+    dpdv = rows[:, TA_DPDV]
+    ng = rows[:, TA_NG0]
 
     # shading geometry (ref shape.rs:268-356)
-    has_n = scene.has_normals[tri]
-    n0 = scene.n0[tri]
-    n1 = scene.n1[tri]
-    n2 = scene.n2[tri]
-    ns_interp = b0 * n0 + b1 * n1 + b2 * n2
+    has_n = rows[:, TA_HASN] > 0.5
+    ns_interp = b0 * rows[:, TA_N0] + b1 * rows[:, TA_N1] + b2 * rows[:, TA_N2]
     ns_len = pm.norm_sq(ns_interp)
     ns = jnp.where((has_n & (ns_len > 0.0))[..., None],
                    ns_interp / jnp.sqrt(jnp.maximum(ns_len, 1e-30))[..., None],
@@ -86,8 +75,9 @@ def make_interaction(scene, o, d, hit):
         p=p_hit, p_error=p_error, uv=uv_hit, wo=-d,
         ng=ng, ns=ns, ss=ss, ts=ts_b,
         dpdu=dpdu, dpdv=dpdv,
-        material=scene.material_id[tri],
-        area_light=scene.area_light_id[tri],
+        material=rows[:, TA_MAT].astype(jnp.int32),
+        area_light=rows[:, TA_LID].astype(jnp.int32),
+        ke=rows[:, TA_KE],
         tri=tri,
     )
 
@@ -126,30 +116,31 @@ def apply_normal_mapping(scene, it):
     return out
 
 
-def emitted_radiance(scene, it, w):
+def emitted_radiance(it, w):
     """Le at a hit toward w (ref light.rs:252-258: one-sided area light).
 
-    it: interaction dict; w: (N, 3) direction (usually -ray.d).
-    Returns (N, 3); zero where the hit isn't an emitter or faces away.
+    it: interaction dict (carries the per-tri ke from the packed gather);
+    w: (N, 3) direction (usually -ray.d). Returns (N, 3); zero where the
+    hit isn't an emitter or faces away.
     """
-    lid = it["area_light"]
-    is_emitter = lid >= 0
-    ke = scene.light_emit[jnp.maximum(lid, 0)]
+    is_emitter = it["area_light"] >= 0
     facing = pm.dot(it["ng"], w) > 0.0
-    return jnp.where((is_emitter & facing)[..., None], ke, 0.0)
+    return jnp.where((is_emitter & facing)[..., None], it["ke"], 0.0)
 
 
-def emitted_radiance_at_hit(scene, hit, w):
-    """Le at a raw hit record without building the interaction.
+def hit_emission(tri_attr, hit, w):
+    """(Le, area-light id) at a raw hit record, one packed row fetch.
 
     Uses the precomputed per-triangle face-forwarded geometric normal
-    (scene.tri_ng) for the one-sided test (light.rs:252-258)."""
-    tri = hit["tri"]
-    lid = scene.area_light_id[tri]
+    (TA_NGF) for the one-sided test (light.rs:252-258). The returned light
+    id feeds the MIS branch's hit-the-light check (integrator.rs:82-136).
+    """
+    rows = take_rows(tri_attr, hit["tri"])
+    lid = rows[:, TA_LID].astype(jnp.int32)
     is_emitter = hit["valid"] & (lid >= 0)
-    ke = scene.light_emit[jnp.maximum(lid, 0)]
-    facing = pm.dot(scene.tri_ng[tri], w) > 0.0
-    return jnp.where((is_emitter & facing)[..., None], ke, 0.0)
+    facing = pm.dot(rows[:, TA_NGF], w) > 0.0
+    le = jnp.where((is_emitter & facing)[..., None], rows[:, TA_KE], 0.0)
+    return le, jnp.where(hit["valid"], lid, -1)
 
 
 def spawn_ray(p, p_error, n, d):

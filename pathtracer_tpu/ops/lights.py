@@ -17,31 +17,30 @@ from ..core import math as pm
 from ..core.math import gamma
 from ..core.sampling import uniform_sample_triangle, sample_distribution_1d, \
     jax_searchsorted_batched
-from ..scene.scene import LIGHT_AREA, LIGHT_DISTANT, LIGHT_INFINITE, LIGHT_POINT
+from ..scene.scene import (LA_EMIT, LA_HASN, LA_N0, LA_N1, LA_N2, LA_P0,
+                           LA_P1, LA_P2, LA_TYPE, LA_VEC, LIGHT_AREA,
+                           LIGHT_DISTANT, LIGHT_INFINITE, LIGHT_POINT)
 from .intersect import watertight_hit_diag
 
 GAMMA6 = gamma(6)
-
-
-def _gather_tri(scene, tri):
-    return scene.p0[tri], scene.p1[tri], scene.p2[tri]
 
 
 def _tri_area(p0, p1, p2):
     return 0.5 * pm.norm(jnp.cross(p1 - p0, p2 - p0))
 
 
-def _tri_sample(scene, tri, u):
-    """Uniform point on triangle with face-forwarded normal
-    (ref shape.rs:541-578). Returns (p, n, p_error)."""
-    p0, p1, p2 = _gather_tri(scene, tri)
+def _tri_sample(rows, u):
+    """Uniform point on the light's triangle with face-forwarded normal
+    (ref shape.rs:541-578). rows: (N, LA_WIDTH) pre-gathered light rows.
+    Returns (p, n, p_error)."""
+    p0, p1, p2 = rows[:, LA_P0], rows[:, LA_P1], rows[:, LA_P2]
     b = uniform_sample_triangle(u)
     b0, b1 = b[..., 0:1], b[..., 1:2]
     b2 = 1.0 - b0 - b1
     p = b0 * p0 + b1 * p1 + b2 * p2
     n = pm.normalize(jnp.cross(p1 - p0, p2 - p0))
-    has_n = scene.has_normals[tri]
-    ns = b0 * scene.n0[tri] + b1 * scene.n1[tri] + b2 * scene.n2[tri]
+    has_n = rows[:, LA_HASN] > 0.5
+    ns = b0 * rows[:, LA_N0] + b1 * rows[:, LA_N1] + b2 * rows[:, LA_N2]
     n = jnp.where(has_n[..., None], pm.face_forward(n, ns), n)
     p_err = GAMMA6 * (jnp.abs(b0 * p0) + jnp.abs(b1 * p1) + jnp.abs(b2 * p2))
     return p, n, p_err
@@ -132,70 +131,105 @@ def env_pdf_li(scene, w_world):
     return jnp.where((sin_t == 0.0) | ~scene.has_env, 0.0, pdf)
 
 
-def sample_li(scene, light_idx, ref_p, ref_err, ref_n, u):
+def sample_li(scene, light_rows, ref_p, ref_err, ref_n, u,
+              light_set=(LIGHT_AREA, LIGHT_POINT, LIGHT_DISTANT,
+                         LIGHT_INFINITE)):
     """sample_li for the chosen light of each ray.
 
-    Returns dict(wi (N,3) unit, pdf (N,), li (N,3), vis_target_p, vis_target_err,
+    scene: SceneData (env tables); light_rows: (N, LA_WIDTH) pre-gathered
+    packed rows of each ray's chosen light (ops/gather.take_rows on
+    TracedScene.light_attr); light_set: static set of light types present —
+    absent types compile out (scene-adaptive specialization). Returns
+    dict(wi (N,3) unit, pdf (N,), li (N,3), vis_target_p, vis_target_err,
     vis_target_n, is_delta (N,)).
     """
-    ltype = scene.light_type[light_idx]
-    emit = scene.light_emit[light_idx]
-    lvec = scene.light_vec[light_idx]
-    tri = jnp.maximum(scene.light_tri[light_idx], 0)
+    ltype = light_rows[:, LA_TYPE].astype(jnp.int32)
+    emit = light_rows[:, LA_EMIT]
+    lvec = light_rows[:, LA_VEC]
+    n = ref_p.shape[0]
+    zero1 = jnp.zeros((n,), jnp.float32)
+    zero3 = jnp.zeros((n, 3), jnp.float32)
 
-    # ---- area light (light.rs:261-280)
-    ps, ns, perr = _tri_sample(scene, tri, u)
-    wi_area = pm.normalize(ps - ref_p)
-    pdf_area = _tri_pdf_along_sampled(scene, tri, ref_p, ref_err, ref_n, wi_area)
-    # one-sided emission toward the receiver (light.rs:252-258)
-    li_area = jnp.where((pm.dot(ns, -wi_area) > 0.0)[..., None], emit, 0.0)
+    preds, wis, pdfs, lis, targets, terrs, tns = [], [], [], [], [], [], []
 
-    # ---- point light (light.rs:100-121)
-    to_l = lvec - ref_p
-    dist_sq_p = pm.norm_sq(to_l)
-    wi_point = to_l / jnp.sqrt(jnp.maximum(dist_sq_p, 1e-30))[..., None]
-    li_point = emit / jnp.maximum(dist_sq_p, 1e-30)[..., None]
+    if LIGHT_AREA in light_set:
+        # ---- area light (light.rs:261-280)
+        ps, ns, perr = _tri_sample(light_rows, u)
+        wi_area = pm.normalize(ps - ref_p)
+        pdf_area = _tri_pdf_along_sampled(light_rows, ref_p, ref_err, ref_n,
+                                          wi_area)
+        # one-sided emission toward the receiver (light.rs:252-258)
+        li_area = jnp.where((pm.dot(ns, -wi_area) > 0.0)[..., None],
+                            emit, 0.0)
+        preds.append(ltype == LIGHT_AREA)
+        wis.append(wi_area)
+        pdfs.append(pdf_area)
+        lis.append(li_area)
+        targets.append(ps)
+        terrs.append(perr)
+        tns.append(ns)
 
-    # ---- distant light (light.rs:174-196)
-    wi_dist = lvec
-    p_outside = ref_p + wi_dist * (2.0 * scene.world_radius)
+    if LIGHT_POINT in light_set:
+        # ---- point light (light.rs:100-121)
+        to_l = lvec - ref_p
+        dist_sq_p = pm.norm_sq(to_l)
+        wi_point = to_l / jnp.sqrt(jnp.maximum(dist_sq_p, 1e-30))[..., None]
+        li_point = emit / jnp.maximum(dist_sq_p, 1e-30)[..., None]
+        preds.append(ltype == LIGHT_POINT)
+        wis.append(wi_point)
+        pdfs.append(jnp.ones_like(zero1))
+        lis.append(li_point)
+        targets.append(jnp.broadcast_to(lvec, ref_p.shape))
+        terrs.append(zero3)
+        tns.append(zero3)
 
-    # ---- infinite light (light.rs:401-441)
-    wi_env, pdf_env, li_env = _env_sample_li(scene, u)
+    if LIGHT_DISTANT in light_set:
+        # ---- distant light (light.rs:174-196)
+        wi_dist = lvec
+        p_outside = ref_p + wi_dist * (2.0 * scene.world_radius)
+        preds.append(ltype == LIGHT_DISTANT)
+        wis.append(wi_dist)
+        pdfs.append(jnp.ones_like(zero1))
+        lis.append(emit)
+        targets.append(p_outside)
+        terrs.append(zero3)
+        tns.append(zero3)
 
-    is_area = ltype == LIGHT_AREA
-    is_point = ltype == LIGHT_POINT
-    is_dist = ltype == LIGHT_DISTANT
-    is_env = ltype == LIGHT_INFINITE
+    if LIGHT_INFINITE in light_set:
+        # ---- infinite light (light.rs:401-441)
+        wi_env, pdf_env, li_env = _env_sample_li(scene, u)
+        preds.append(ltype == LIGHT_INFINITE)
+        wis.append(wi_env)
+        pdfs.append(pdf_env)
+        lis.append(li_env)
+        targets.append(ref_p + wi_env * (2.0 * scene.world_radius))
+        terrs.append(zero3)
+        tns.append(zero3)
 
-    wi = jnp.select(
-        [is_area[..., None], is_point[..., None], is_dist[..., None],
-         is_env[..., None]],
-        [wi_area, wi_point, wi_dist, wi_env], wi_area)
-    pdf = jnp.select([is_area, is_point, is_dist, is_env],
-                     [pdf_area, jnp.ones_like(pdf_area),
-                      jnp.ones_like(pdf_area), pdf_env], 0.0)
-    li = jnp.select([is_area[..., None], is_point[..., None],
-                     is_dist[..., None], is_env[..., None]],
-                    [li_area, li_point, emit, li_env], jnp.zeros_like(li_area))
+    def sel(vals, default):
+        if len(vals) == 1:
+            return vals[0]
+        sel_p = [p[..., None] for p in preds] if vals[0].ndim == 2 else preds
+        return jnp.select(sel_p, vals, default)
 
-    far = ref_p + wi * (2.0 * scene.world_radius)
-    target_p = jnp.select(
-        [is_area[..., None], is_point[..., None], is_dist[..., None],
-         is_env[..., None]],
-        [ps, jnp.broadcast_to(lvec, ps.shape), p_outside, far], ps)
-    target_err = jnp.where(is_area[..., None], perr, 0.0)
-    target_n = jnp.where(is_area[..., None], ns, 0.0)
-    is_delta = is_point | is_dist
+    wi = sel(wis, wis[0])
+    pdf = sel(pdfs, zero1)
+    li = sel(lis, zero3)
+    target_p = sel(targets, targets[0])
+    target_err = sel(terrs, zero3)
+    target_n = sel(tns, zero3)
+    is_delta = (ltype == LIGHT_POINT) | (ltype == LIGHT_DISTANT)
     return dict(wi=wi, pdf=pdf, li=li, target_p=target_p,
                 target_err=target_err, target_n=target_n, is_delta=is_delta,
-                is_env=is_env, is_area=is_area)
+                is_env=ltype == LIGHT_INFINITE, is_area=ltype == LIGHT_AREA)
 
 
-def _tri_pdf_along_sampled(scene, tri, ref_p, ref_err, ref_n, wi):
-    """pdf_at_point via single-triangle re-intersection (shape.rs:62-72)."""
+def _tri_pdf_along_sampled(rows, ref_p, ref_err, ref_n, wi):
+    """pdf_at_point via single-triangle re-intersection (shape.rs:62-72).
+
+    rows: (N, LA_WIDTH) pre-gathered light rows."""
     o = pm.offset_ray_origin(ref_p, ref_err, ref_n, wi)
-    p0, p1, p2 = _gather_tri(scene, tri)
+    p0, p1, p2 = rows[:, LA_P0], rows[:, LA_P1], rows[:, LA_P2]
     t, b, hit = watertight_hit_diag(
         o, wi, jnp.full(wi.shape[:-1], jnp.inf, wi.dtype), p0, p1, p2)
     hp = o + t[..., None] * wi
@@ -207,14 +241,24 @@ def _tri_pdf_along_sampled(scene, tri, ref_p, ref_err, ref_n, wi):
     return jnp.where(hit, pdf, 0.0)
 
 
-def pdf_li(scene, light_idx, ref_p, ref_err, ref_n, wi):
+def pdf_li(scene, light_rows, ref_p, ref_err, ref_n, wi,
+           light_set=(LIGHT_AREA, LIGHT_POINT, LIGHT_DISTANT,
+                      LIGHT_INFINITE)):
     """pdf of the chosen light along wi (for MIS BSDF branch).
 
-    Delta lights return 0 (light.rs:127-129,202-204)."""
-    ltype = scene.light_type[light_idx]
-    tri = jnp.maximum(scene.light_tri[light_idx], 0)
-    pdf_area = _tri_pdf_along_sampled(scene, tri, ref_p, ref_err, ref_n, wi)
-    pdf_env = env_pdf_li(scene, wi)
-    return jnp.select(
-        [ltype == LIGHT_AREA, ltype == LIGHT_INFINITE],
-        [pdf_area, pdf_env], 0.0)
+    Delta lights return 0 (light.rs:127-129,202-204); absent light types
+    compile out via the static light_set."""
+    ltype = light_rows[:, LA_TYPE].astype(jnp.int32)
+    preds, pdfs = [], []
+    if LIGHT_AREA in light_set:
+        preds.append(ltype == LIGHT_AREA)
+        pdfs.append(_tri_pdf_along_sampled(light_rows, ref_p, ref_err,
+                                           ref_n, wi))
+    if LIGHT_INFINITE in light_set:
+        preds.append(ltype == LIGHT_INFINITE)
+        pdfs.append(env_pdf_li(scene, wi))
+    if not preds:
+        return jnp.zeros(wi.shape[:-1], jnp.float32)
+    if len(preds) == 1 and len(light_set) == 1:
+        return pdfs[0]
+    return jnp.select(preds, pdfs, 0.0)

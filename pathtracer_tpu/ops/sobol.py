@@ -41,23 +41,9 @@ def _load_tables():
 INV_2_POW_32 = np.float32(2.0 ** -32)
 
 
-def _xor_reduce_52(vals):
-    """XOR-reduce (..., 52) uint32 along the last axis via a log tree."""
-    pad = jnp.zeros(vals.shape[:-1] + (12,), vals.dtype)
-    v = jnp.concatenate([vals, pad], axis=-1)  # (..., 64)
-    for _ in range(6):
-        half = v.shape[-1] // 2
-        v = jnp.bitwise_xor(v[..., :half], v[..., half:])
-    return v[..., 0]
-
-
-def _index_bits(idx_lo, idx_hi):
-    """(N,) u32 pairs → (N, 52) {0,1} uint32 bit masks."""
-    sh_lo = jnp.arange(32, dtype=jnp.uint32)
-    sh_hi = jnp.arange(20, dtype=jnp.uint32)
-    bits_lo = (idx_lo[..., None] >> sh_lo) & jnp.uint32(1)
-    bits_hi = (idx_hi[..., None] >> sh_hi) & jnp.uint32(1)
-    return jnp.concatenate([bits_lo, bits_hi], axis=-1)
+def _bit_mask(word, b: int):
+    """All-ones u32 mask where bit b of word is set (0-b trick: -1 or 0)."""
+    return jnp.uint32(0) - ((word >> jnp.uint32(b)) & jnp.uint32(1))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -143,15 +129,39 @@ def sobol_index(b_base, delta, shifted_lo, shifted_hi, inv_lo, inv_hi):
     """Device: per-pixel 64-bit Sobol sample index as (lo, hi) u32.
 
     b_base (N,) u32; rest scalars/(52,) rows. Ref lowdiscrepancy.rs:27-38.
+    Evaluated as a 32-step masked-XOR chain over (N,) words — fully fusible
+    elementwise ops, no (N, bits) intermediates (the bit-matrix form
+    round-tripped ~50 MB of HBM per evaluation).
     """
     b = b_base ^ delta
-    sh = jnp.arange(32, dtype=jnp.uint32)
-    bits = (b[..., None] >> sh) & jnp.uint32(1)  # (N,32); b < 2^32
-    pad = jnp.zeros(bits.shape[:-1] + (20,), jnp.uint32)
-    bits52 = jnp.concatenate([bits, pad], axis=-1)
-    lo = _xor_reduce_52(jnp.where(bits52 == 1, inv_lo, jnp.uint32(0)))
-    hi = _xor_reduce_52(jnp.where(bits52 == 1, inv_hi, jnp.uint32(0)))
+    lo = jnp.zeros_like(b)
+    hi = jnp.zeros_like(b)
+    for c in range(32):  # b < 2^32
+        m = _bit_mask(b, c)
+        lo = lo ^ (inv_lo[c] & m)
+        hi = hi ^ (inv_hi[c] & m)
     return lo ^ shifted_lo, hi ^ shifted_hi
+
+
+def _dim_value(idx_lo, idx_hi, row):
+    """XOR of row entries selected by the 52 index bits (masked chain).
+
+    row: (52,) or (N, 52) u32; idx_lo/hi: (N,) u32. All ops are (N,)
+    elementwise, so XLA fuses the whole 52-step chain into one pass.
+    """
+    per_ray = row.ndim == 2
+    v = jnp.zeros_like(idx_lo)
+    for b in range(32):
+        r = row[..., b] if per_ray else row[b]
+        v = v ^ (r & _bit_mask(idx_lo, b))
+    for b in range(20):
+        r = row[..., 32 + b] if per_ray else row[32 + b]
+        v = v ^ (r & _bit_mask(idx_hi, b))
+    return v
+
+
+def _to_unit(v):
+    return jnp.minimum(ONE_MINUS_EPSILON, v.astype(jnp.float32) * INV_2_POW_32)
 
 
 def sobol_sample(idx_lo, idx_hi, dim, scramble, sm32):
@@ -161,64 +171,30 @@ def sobol_sample(idx_lo, idx_hi, dim, scramble, sm32):
     Ref lowdiscrepancy.rs:42-57.
     """
     dim = jnp.clip(dim, 0, NUM_SOBOL_DIMENSIONS - 1)
-    rows = sm32[dim]  # (N, 52) gather
-    bits = _index_bits(idx_lo, idx_hi)
-    v = _xor_reduce_52(jnp.where(bits == 1, rows, jnp.uint32(0)))
-    v = v ^ scramble
-    return jnp.minimum(ONE_MINUS_EPSILON, v.astype(jnp.float32) * INV_2_POW_32)
+    rows = sm32[dim]  # (N, 52) gather — per-ray dims (debug/test path)
+    return _to_unit(_dim_value(idx_lo, idx_hi, rows) ^ scramble)
 
 
-def index_bits52(idx_lo, idx_hi):
-    """Precompute the (52, N) {0,1} bit expansion of a wave's sample index.
-
-    Bit-major layout keeps the wide ray axis in the TPU lane dimension (a
-    trailing 52 axis would pad every lane tile to 128). The index is
-    constant per wave; expanding once lets every subsequent dimension
-    evaluation be a dense select + XOR tree with no gathers.
-    """
-    sh_lo = jnp.arange(32, dtype=jnp.uint32)[:, None]
-    sh_hi = jnp.arange(20, dtype=jnp.uint32)[:, None]
-    bits_lo = (idx_lo[None, :] >> sh_lo) & jnp.uint32(1)
-    bits_hi = (idx_hi[None, :] >> sh_hi) & jnp.uint32(1)
-    return jnp.concatenate([bits_lo, bits_hi], axis=0)
-
-
-def _xor_tree_axis0(vals):
-    """XOR-reduce (52, N) uint32 along axis 0 via a log tree."""
-    pad = jnp.zeros((12,) + vals.shape[1:], vals.dtype)
-    v = jnp.concatenate([vals, pad], axis=0)  # (64, N)
-    for _ in range(6):
-        half = v.shape[0] // 2
-        v = jnp.bitwise_xor(v[:half], v[half:])
-    return v[0]
-
-
-def sobol_sample_dim(bits52, dim, scramble, sm32):
+def sobol_sample_dim(idx_lo, idx_hi, dim, scramble, sm32):
     """Sobol value for ONE dimension shared by the whole wave.
 
-    bits52: (52, N) from index_bits52; dim: scalar (may be traced); sm32:
-    (1024, 52). Unlike ``sobol_sample`` (per-ray dims, row gather), this is
-    a dense slice + select — the wavefront integrator allocates static
-    per-bounce dimension slots so dims never diverge across rays
-    (deviation from the reference's adaptive per-path dimension counters,
-    sampler/sobol.rs:129-151; the sequence is still a valid Sobol LDS).
+    idx_lo/hi: (N,) u32 from sobol_index; dim: scalar (may be traced);
+    sm32: (1024, 52). The wavefront integrator allocates static per-bounce
+    dimension slots so dims never diverge across rays (deviation from the
+    reference's adaptive per-path dimension counters, sampler/sobol.rs:
+    129-151; the sequence is still a valid Sobol LDS). The row fetch is one
+    (1, 52) slice; the XOR chain fuses with surrounding elementwise work.
     """
     row = jax.lax.dynamic_slice(sm32, (dim, 0), (1, SOBOL_MATRIX_SIZE))[0]
-    v = _xor_tree_axis0(jnp.where(bits52 == 1, row[:, None], jnp.uint32(0)))
-    v = v ^ scramble
-    return jnp.minimum(ONE_MINUS_EPSILON, v.astype(jnp.float32) * INV_2_POW_32)
+    return _to_unit(_dim_value(idx_lo, idx_hi, row) ^ scramble)
 
 
-def sobol_sample_dim2(bits52, dim, scramble, sm32):
+def sobol_sample_dim2(idx_lo, idx_hi, dim, scramble, sm32):
     """Two consecutive dimensions at once → (N, 2)."""
     rows = jax.lax.dynamic_slice(sm32, (dim, 0), (2, SOBOL_MATRIX_SIZE))
-    v0 = _xor_tree_axis0(jnp.where(bits52 == 1, rows[0][:, None],
-                                   jnp.uint32(0)))
-    v1 = _xor_tree_axis0(jnp.where(bits52 == 1, rows[1][:, None],
-                                   jnp.uint32(0)))
-    v = jnp.stack([v0 ^ scramble, v1 ^ scramble], axis=-1)
-    return jnp.minimum(ONE_MINUS_EPSILON,
-                       v.astype(jnp.float32) * INV_2_POW_32)
+    v0 = _dim_value(idx_lo, idx_hi, rows[0]) ^ scramble
+    v1 = _dim_value(idx_lo, idx_hi, rows[1]) ^ scramble
+    return jnp.stack([_to_unit(v0), _to_unit(v1)], axis=-1)
 
 
 def remap_pixel_dims(domain: SobolDomain, s, dim01, pixel):

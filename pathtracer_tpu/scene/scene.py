@@ -108,6 +108,155 @@ def _as_f32(x):
     return jnp.asarray(np.asarray(x, np.float32))
 
 
+# ---------------------------------------------------------------------------
+# Packed per-row attribute matrices. Per-lane gathers on TPU cost ~1 element
+# per cycle, so the hot path fetches ONE packed row per index (one-hot MXU
+# matmul for small tables, single row gather otherwise — ops/gather.py)
+# instead of a dozen separate array gathers. Integer ids ride as exact f32.
+
+# tri_attr columns (F, 42)
+TA_P0 = slice(0, 3)
+TA_P1 = slice(3, 6)
+TA_P2 = slice(6, 9)
+TA_N0 = slice(9, 12)
+TA_N1 = slice(12, 15)
+TA_N2 = slice(15, 18)
+TA_UV0 = slice(18, 20)
+TA_UV1 = slice(20, 22)
+TA_UV2 = slice(22, 24)
+TA_NG0 = slice(24, 27)   # unflipped unit geometric normal cross(p0-p2, p1-p2)
+TA_NGF = slice(27, 30)   # face-forwarded tri_ng (emission lookups)
+TA_DPDU = slice(30, 33)  # per-tri dpdu with degenerate fallback applied
+TA_DPDV = slice(33, 36)
+TA_KE = slice(36, 39)    # per-tri emission (area lights; zeros otherwise)
+TA_MAT = 39
+TA_LID = 40
+TA_HASN = 41
+TA_WIDTH = 42
+
+# light_attr columns (L, 26)
+LA_TYPE = 0
+LA_EMIT = slice(1, 4)
+LA_VEC = slice(4, 7)
+LA_P0 = slice(7, 10)
+LA_P1 = slice(10, 13)
+LA_P2 = slice(13, 16)
+LA_N0 = slice(16, 19)
+LA_N1 = slice(19, 22)
+LA_N2 = slice(22, 25)
+LA_HASN = 25
+LA_WIDTH = 26
+
+# mat_attr columns (M, 20)
+MA_TYPE = 0
+MA_KD = slice(1, 4)
+MA_KS = slice(4, 7)
+MA_ETA = slice(7, 10)
+MA_K = slice(10, 13)
+MA_ROUGH = slice(13, 15)
+MA_MISC = slice(15, 19)
+MA_REMAP = 19
+MA_WIDTH = 20
+
+
+def pack_tri_attr(sd: "SceneData") -> jnp.ndarray:
+    """(F, 42) packed per-triangle shading attributes (host, build-time).
+
+    Precomputes the per-triangle constants of the interaction build
+    (ref shape.rs:187-215): dpdu/dpdv from the UV parameterization with
+    the degenerate fallback frame, the unit geometric normal, and the
+    per-triangle emission (light_emit row of the tri's area light).
+    """
+    p0 = np.asarray(sd.p0, np.float32)
+    p1 = np.asarray(sd.p1, np.float32)
+    p2 = np.asarray(sd.p2, np.float32)
+    uv0 = np.asarray(sd.uv0, np.float32)
+    uv1 = np.asarray(sd.uv1, np.float32)
+    uv2 = np.asarray(sd.uv2, np.float32)
+    duv02 = uv0 - uv2
+    duv12 = uv1 - uv2
+    dp02 = p0 - p2
+    dp12 = p1 - p2
+    det = duv02[:, 0] * duv12[:, 1] - duv02[:, 1] * duv12[:, 0]
+    degenerate = np.abs(det) < 1e-8
+    inv_det = 1.0 / np.where(degenerate, 1.0, det)
+    dpdu = ((duv12[:, 1:2] * dp02 - duv02[:, 1:2] * dp12)
+            * inv_det[:, None]).astype(np.float32)
+    dpdv = ((-duv12[:, 0:1] * dp02 + duv02[:, 0:1] * dp12)
+            * inv_det[:, None]).astype(np.float32)
+    ng_raw = np.cross(dp02, dp12).astype(np.float32)
+    ng0 = (ng_raw / np.sqrt(np.maximum(
+        (ng_raw * ng_raw).sum(-1, keepdims=True), 1e-30))).astype(np.float32)
+    bad = degenerate | ((np.cross(dpdu, dpdv) ** 2).sum(-1) == 0.0)
+    # coordinate_system fallback (ref math.rs:48-61 semantics, f32)
+    cx = np.where(np.abs(ng0[:, 0]) > np.abs(ng0[:, 1]),
+                  1.0 / np.sqrt(np.maximum(ng0[:, 0] ** 2 + ng0[:, 2] ** 2,
+                                           1e-30)), 0.0).astype(np.float32)
+    cy = np.where(np.abs(ng0[:, 0]) > np.abs(ng0[:, 1]), 0.0,
+                  1.0 / np.sqrt(np.maximum(ng0[:, 1] ** 2 + ng0[:, 2] ** 2,
+                                           1e-30))).astype(np.float32)
+    fb_u = np.where((np.abs(ng0[:, 0]) > np.abs(ng0[:, 1]))[:, None],
+                    np.stack([-ng0[:, 2] * cx, np.zeros_like(cx),
+                              ng0[:, 0] * cx], -1),
+                    np.stack([np.zeros_like(cy), ng0[:, 2] * cy,
+                              -ng0[:, 1] * cy], -1)).astype(np.float32)
+    fb_v = np.cross(ng0, fb_u).astype(np.float32)
+    dpdu = np.where(bad[:, None], fb_u, dpdu)
+    dpdv = np.where(bad[:, None], fb_v, dpdv)
+
+    lid = np.asarray(sd.area_light_id, np.int32)
+    emit = np.asarray(sd.light_emit, np.float32)
+    ke = np.where((lid >= 0)[:, None], emit[np.maximum(lid, 0)], 0.0)
+
+    cols = np.concatenate([
+        p0, p1, p2,
+        np.asarray(sd.n0, np.float32), np.asarray(sd.n1, np.float32),
+        np.asarray(sd.n2, np.float32),
+        uv0, uv1, uv2,
+        ng0, np.asarray(sd.tri_ng, np.float32), dpdu, dpdv, ke,
+        np.asarray(sd.material_id, np.float32)[:, None],
+        lid.astype(np.float32)[:, None],
+        np.asarray(sd.has_normals, np.float32)[:, None],
+    ], axis=1).astype(np.float32)
+    assert cols.shape[1] == TA_WIDTH
+    return jnp.asarray(cols)
+
+
+def pack_light_attr(sd: "SceneData") -> jnp.ndarray:
+    """(L, 26) packed light table incl. the area light's triangle data."""
+    ltri = np.maximum(np.asarray(sd.light_tri, np.int32), 0)
+    cols = np.concatenate([
+        np.asarray(sd.light_type, np.float32)[:, None],
+        np.asarray(sd.light_emit, np.float32),
+        np.asarray(sd.light_vec, np.float32),
+        np.asarray(sd.p0, np.float32)[ltri],
+        np.asarray(sd.p1, np.float32)[ltri],
+        np.asarray(sd.p2, np.float32)[ltri],
+        np.asarray(sd.n0, np.float32)[ltri],
+        np.asarray(sd.n1, np.float32)[ltri],
+        np.asarray(sd.n2, np.float32)[ltri],
+        np.asarray(sd.has_normals, np.float32)[ltri][:, None],
+    ], axis=1).astype(np.float32)
+    assert cols.shape[1] == LA_WIDTH
+    return jnp.asarray(cols)
+
+
+def pack_mat_attr(sd: "SceneData") -> jnp.ndarray:
+    """(M, 20) packed material constant table."""
+    cols = np.concatenate([
+        np.asarray(sd.mat_type, np.float32)[:, None],
+        np.asarray(sd.mat_kd, np.float32),
+        np.asarray(sd.mat_ks, np.float32),
+        np.asarray(sd.mat_eta, np.float32),
+        np.asarray(sd.mat_k, np.float32),
+        np.asarray(sd.mat_rough, np.float32),
+        np.asarray(sd.mat_misc, np.float32),
+        np.asarray(sd.mat_remap, np.float32)[:, None],
+    ], axis=1).astype(np.float32)
+    assert cols.shape[1] == MA_WIDTH
+    return jnp.asarray(cols)
+
+
 def reorder_triangles(scene: "SceneData", order: np.ndarray) -> "SceneData":
     """Permute the triangle soup (e.g. into BVH leaf order).
 

@@ -157,7 +157,8 @@ def test_normal_mapping_tilts_shading():
     for with_map, want_tilt in [(False, False), (True, True)]:
         sd = build(with_map)
         hit = intersect_brute(o, d, tmax, sd.p0, sd.p1, sd.p2)
-        it = make_interaction(sd, o, d, hit)
+        from pathtracer_tpu.scene.scene import pack_tri_attr
+        it = make_interaction(sd, o, d, hit, pack_tri_attr(sd))
         it = apply_normal_mapping(sd, it)
         ns = np.asarray(it["ns"])[0]
         if want_tilt:
