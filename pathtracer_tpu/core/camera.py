@@ -109,6 +109,13 @@ class Camera:
             jnp.asarray(self.cam_to_world[:3, 3], jnp.float32),
         )
 
+    def diff_params(self):
+        """(2, 3) f32 camera-space raster-step offsets (dx_camera,
+        dy_camera) for ray-differential generation (ref pathtracer/
+        mod.rs:59-81)."""
+        return jnp.asarray(np.stack([self.dx_camera, self.dy_camera]),
+                           jnp.float32)
+
 
 def generate_rays(raster_to_camera, cam_rot, cam_pos, p_film):
     """Batched pinhole raygen (ref pathtracer/mod.rs:44-57).
@@ -128,3 +135,36 @@ def generate_rays(raster_to_camera, cam_rot, cam_pos, p_film):
     d_world = d_world / jnp.linalg.norm(d_world, axis=-1, keepdims=True)
     o_world = jnp.broadcast_to(cam_pos, d_world.shape)
     return o_world, d_world
+
+
+def generate_rays_diff(raster_to_camera, cam_rot, cam_pos, p_film, dxdy_cam,
+                       diff_scale):
+    """Raygen with ray differentials (ref pathtracer/mod.rs:59-81 +
+    scale_differentials, common/ray.rs:30-35).
+
+    dxdy_cam: (2, 3) camera-space offsets for a +1 raster x/y step;
+    diff_scale: 1/sqrt(spp). The pinhole differential rays share the main
+    origin, so only the two auxiliary directions are returned.
+    """
+    ph = jnp.stack(
+        [p_film[..., 0], p_film[..., 1],
+         jnp.zeros_like(p_film[..., 0]), jnp.ones_like(p_film[..., 0])],
+        axis=-1,
+    )
+    pc = ph @ raster_to_camera.T
+    p_camera = pc[..., :3] / pc[..., 3:4]
+    d_cam = p_camera / jnp.linalg.norm(p_camera, axis=-1, keepdims=True)
+    d_world = d_cam @ cam_rot.T
+    d_world = d_world / jnp.linalg.norm(d_world, axis=-1, keepdims=True)
+    o_world = jnp.broadcast_to(cam_pos, d_world.shape)
+
+    def aux(dcam):
+        v = p_camera + dcam
+        v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+        v = v @ cam_rot.T
+        # reference normalizes the camera-space vector only; mirror the
+        # main-ray double-normalize for frame-safety (rigid rot: no-op)
+        v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+        return d_world + (v - d_world) * diff_scale
+
+    return o_world, d_world, aux(dxdy_cam[0]), aux(dxdy_cam[1])

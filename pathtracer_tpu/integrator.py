@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .core import math as pm
-from .core.camera import Camera, generate_rays
+from .core.camera import Camera, generate_rays, generate_rays_diff
 from .core.film import (FILM_PAD, film_crop, film_pad_accumulate,
                         film_pad_new, sample_bounds, splat_halfwidth,
                         splat_tile)
@@ -252,7 +252,8 @@ def estimate_direct(scene, cfg, it, mp, u_scatt, u_light, light_idx,
     return ld
 
 
-def trace_wave(scene, cfg: PathConfig, draw, draw2, o, d):
+def trace_wave(scene, cfg: PathConfig, draw, draw2, o, d,
+               rxd=None, ryd=None):
     """Trace one wavefront of rays to completion; returns (L (N,3), rays).
 
     draw(dim) / draw2(dim) produce one/two sampler dimensions for the whole
@@ -298,8 +299,13 @@ def trace_wave(scene, cfg: PathConfig, draw, draw2, o, d):
             le_hit, _ = ia.hit_emission(scene.tri_attr, hit, -d)
         else:
             it = ia.make_interaction(sd, o, d, hit, scene.tri_attr)
+            # camera-ray differentials -> duvdx/duvdy for mip filter widths
+            # (only the first hit: deeper rays carry no differentials in
+            # the reference either, integrator.rs:449-468 spawn_ray)
+            duv = ia.compute_duv(it, o, rxd, ryd) \
+                if (bounce == 0 and rxd is not None) else None
             if scene.has_normal_maps:
-                it = ia.apply_normal_mapping(sd, it)
+                it = ia.apply_normal_mapping(sd, it, duv=duv)
             le_hit = ia.emitted_radiance(it, -d)
         l = l + jnp.where((le_mask & found)[..., None], beta * le_hit, 0.0)
         if scene.has_env:
@@ -311,7 +317,8 @@ def trace_wave(scene, cfg: PathConfig, draw, draw2, o, d):
 
         cont = found
         mp = bx.gather_params(sd, it["material"], it["uv"],
-                              mat_attr=scene.mat_attr, has_tex=scene.has_tex)
+                              mat_attr=scene.mat_attr, has_tex=scene.has_tex,
+                              duv=duv)
         wo = -d
 
         # --- NEE (:443-447) for materials with non-specular lobes;
@@ -393,13 +400,16 @@ def render_band(scene, cfg: PathConfig, spp: int, band_shape: tuple[int, int],
                 scramble, frame_lo, frame_hi, frame_delta, frame_base,
                 inv_lo, inv_hi, r2c, cam_rot, cam_pos, filter_f1d,
                 sobol_pack, sobol_scale, sobol_off_x, sobol_off_y,
-                total_spp_log2: int = 0, filter_radius: float = 2.0):
+                total_spp_log2: int = 0, filter_radius: float = 2.0,
+                dxdy_cam=None, diff_scale=1.0):
     """Render `spp` sampler frames for one row band into the padded film.
 
     band_shape = (Th, Tw); px/py: (Th*Tw,) absolute pixel coords;
     valid_lanes: (Th*Tw,) bool (padding rows are zero-weight). frame_*:
     (spp,) host Sobol constants per sample index; frame_base: global index
-    of the chunk's first frame (stratified/random samplers).
+    of the chunk's first frame (stratified/random samplers). dxdy_cam:
+    (2, 3) camera raster-step offsets (Camera.diff_params) enabling ray
+    differentials; diff_scale: 1/sqrt(total spp) (ray.rs:30-35).
     """
     th, tw = band_shape
     pxf = px.astype(jnp.float32)
@@ -445,8 +455,16 @@ def render_band(scene, cfg: PathConfig, spp: int, band_shape: tuple[int, int],
             jx = draw(0)
             jy = draw(1)
         p_film = jnp.stack([pxf + jx, pyf + jy], axis=-1)
-        o, d = generate_rays(r2c, cam_rot, cam_pos, p_film)
-        radiance, rays, n_bad = trace_wave(scene, cfg, draw, draw2, o, d)
+        # differentials feed mip filter widths — only built when some
+        # texture will consume them (static skip otherwise)
+        if dxdy_cam is not None and (scene.has_tex or scene.has_normal_maps):
+            o, d, rxd, ryd = generate_rays_diff(
+                r2c, cam_rot, cam_pos, p_film, dxdy_cam, diff_scale)
+        else:
+            o, d = generate_rays(r2c, cam_rot, cam_pos, p_film)
+            rxd = ryd = None
+        radiance, rays, n_bad = trace_wave(scene, cfg, draw, draw2, o, d,
+                                           rxd, ryd)
         tile = splat_tile(radiance.reshape(th, tw, 3),
                           jx.reshape(th, tw), jy.reshape(th, tw),
                           valid, filter_f1d, radius=filter_radius)
@@ -565,7 +583,9 @@ class PathIntegrator:
                     jnp.float32(domain.p_min[0]),
                     jnp.float32(domain.p_min[1]),
                     total_spp_log2=pm.log2_int(self.spp),
-                    filter_radius=self.filter_radius)
+                    filter_radius=self.filter_radius,
+                    dxdy_cam=camera.diff_params(),
+                    diff_scale=jnp.float32(1.0 / np.sqrt(self.spp)))
                 self.last_ray_count += float(rays)
                 self.bad_sample_count += float(n_bad)
             if callback is not None:

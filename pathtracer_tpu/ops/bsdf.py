@@ -238,14 +238,17 @@ def tr_pdf(wo, wh, ax, ay):
 
 
 # ---------------------------------------------------------------- textures
-def eval_texture(scene, txd_id, uv, fallback, width=0.0):
+def eval_texture(scene, txd_id, uv, fallback, duv=None):
     """Evaluate a texture descriptor at uv; fallback where txd_id < 0.
 
     Implements the reference Texture dispatch: ConstantTexture
     (texture.rs:15-29), CheckerTexture with UVMap (:31-89), ImageTexture
-    via the mip pool (:91-192). Fixed-width trilinear lookup (ray
-    differentials pending; matches lookup_width(st, 0) used for envmaps,
-    light.rs:440).
+    via the mip pool (:91-192). duv = (dudx, dvdx, dudy, dvdy) screen-space
+    UV derivatives (interaction.compute_duv): the UVMap scales them by
+    (su, sv) into dst/dx, dst/dy (texture.rs:47-52) and the mip filter
+    width is their max abs component (texture.rs:430-445); width 0 when
+    differentials are absent (matching non-camera bounces, whose rays
+    carry no differentials in the reference either).
     """
     from ..scene.texture import lookup_width as pool_lookup
 
@@ -254,6 +257,15 @@ def eval_texture(scene, txd_id, uv, fallback, width=0.0):
     uvm = scene.txd_uv[safe]
     st = jnp.stack([uv[..., 0] * uvm[..., 0] + uvm[..., 2],
                     uv[..., 1] * uvm[..., 1] + uvm[..., 3]], axis=-1)
+    if duv is None:
+        width = 0.0
+    else:
+        dudx, dvdx, dudy, dvdy = duv
+        width = jnp.maximum(
+            jnp.maximum(jnp.abs(uvm[..., 0] * dudx),
+                        jnp.abs(uvm[..., 1] * dvdx)),
+            jnp.maximum(jnp.abs(uvm[..., 0] * dudy),
+                        jnp.abs(uvm[..., 1] * dvdy)))
 
     const_v = scene.txd_rgb0[safe]
     parity = (jnp.floor(st[..., 0]) + jnp.floor(st[..., 1])) % 2.0
@@ -275,7 +287,8 @@ def eval_texture(scene, txd_id, uv, fallback, width=0.0):
 
 
 # ---------------------------------------------------------------- materials
-def gather_params(scene, mat_id, uv=None, mat_attr=None, has_tex=True):
+def gather_params(scene, mat_id, uv=None, mat_attr=None, has_tex=True,
+                  duv=None):
     """Per-ray material parameter gather from the packed material table.
 
     mat_attr: (M, MA_WIDTH) packed rows (TracedScene.mat_attr); built on
@@ -303,14 +316,14 @@ def gather_params(scene, mat_id, uv=None, mat_attr=None, has_tex=True):
     metallic = misc[:, 0]
     rough_d = misc[:, 1]
     if uv is not None and has_tex:
-        kd = eval_texture(scene, scene.mat_kd_tx[mat_id], uv, kd)
-        ks = eval_texture(scene, scene.mat_ks_tx[mat_id], uv, ks)
+        kd = eval_texture(scene, scene.mat_kd_tx[mat_id], uv, kd, duv=duv)
+        ks = eval_texture(scene, scene.mat_ks_tx[mat_id], uv, ks, duv=duv)
         metallic = eval_texture(
             scene, scene.mat_metallic_tx[mat_id], uv,
-            metallic[..., None] * jnp.ones(3))[..., 0]
+            metallic[..., None] * jnp.ones(3), duv=duv)[..., 0]
         rough_d = eval_texture(
             scene, scene.mat_rough_tx[mat_id], uv,
-            rough_d[..., None] * jnp.ones(3))[..., 0]
+            rough_d[..., None] * jnp.ones(3), duv=duv)[..., 0]
     alpha_d = jnp.maximum(0.001, rough_d * rough_d)
     ax = jnp.where(mtype == MAT_DISNEY, alpha_d, jnp.maximum(ax, 0.001))
     ay = jnp.where(mtype == MAT_DISNEY, alpha_d, jnp.maximum(ay, 0.001))

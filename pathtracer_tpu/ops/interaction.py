@@ -82,7 +82,62 @@ def make_interaction(scene, o, d, hit, tri_attr):
     )
 
 
-def apply_normal_mapping(scene, it):
+def compute_duv(it, o, rxd, ryd):
+    """Screen-space (u, v) derivatives at hits (ref interaction.rs:216-281).
+
+    Intersects the two auxiliary camera rays (shared origin o, directions
+    rxd/ryd) with the tangent plane at the hit, then solves the 2x2 system
+    [dpdu dpdv] @ [dudx dvdx]^T = dpdx in the two most stable dimensions.
+    Returns (dudx, dvdx, dudy, dvdy), zeros on degenerate geometry.
+    DEVIATION: the reference's dimension pick compares n.y twice
+    (interaction.rs:241 `n.x.abs() > n.y.abs() && n.x.abs() > n.y.abs()`);
+    we use the intended PBRT test against n.z.
+    """
+    n = it["ng"]
+    p = it["p"]
+    d_plane = pm.dot(n, p)
+
+    def plane_hit(rd):
+        t = -(pm.dot(n, o) - d_plane) / pm.dot(n, rd)
+        return o + t[..., None] * rd, jnp.isfinite(t)
+
+    px, okx = plane_hit(rxd)
+    py, oky = plane_hit(ryd)
+    dpdx = px - p
+    dpdy = py - p
+
+    an = jnp.abs(n)
+    use_x = (an[..., 0] > an[..., 1]) & (an[..., 0] > an[..., 2])
+    use_y = ~use_x & (an[..., 1] > an[..., 2])
+    dim0 = jnp.where(use_x, 1, 0)
+    dim1 = jnp.where(use_x | use_y, 2, 1)
+
+    def take(v, k):
+        return jnp.where(k == 0, v[..., 0],
+                         jnp.where(k == 1, v[..., 1], v[..., 2]))
+
+    a00 = take(it["dpdu"], dim0)
+    a01 = take(it["dpdv"], dim0)
+    a10 = take(it["dpdu"], dim1)
+    a11 = take(it["dpdv"], dim1)
+    det = a00 * a11 - a01 * a10
+    ok_det = jnp.abs(det) >= 1e-10  # solve_linear_system_2x2, math.rs:149-163
+    inv_det = 1.0 / jnp.where(ok_det, det, 1.0)
+    ok = okx & oky  # reference zeroes everything when either t is non-finite
+
+    def solve(dp):
+        b0, b1 = take(dp, dim0), take(dp, dim1)
+        du = (a11 * b0 - a01 * b1) * inv_det
+        dv = (a00 * b1 - a10 * b0) * inv_det
+        good = ok & ok_det & jnp.isfinite(du) & jnp.isfinite(dv)
+        return jnp.where(good, du, 0.0), jnp.where(good, dv, 0.0)
+
+    dudx, dvdx = solve(dpdx)
+    dudy, dvdy = solve(dpdy)
+    return dudx, dvdx, dudy, dvdy
+
+
+def apply_normal_mapping(scene, it, duv=None):
     """Perturb the shading frame by tangent-space normal maps.
 
     Ref material/mod.rs:39-78 NormalMaterial: n' = normalize(TBN @ n_tex),
@@ -95,7 +150,7 @@ def apply_normal_mapping(scene, it):
     has = ntx >= 0
     rgb = eval_texture(scene, ntx, it["uv"],
                        jnp.broadcast_to(jnp.asarray([0.5, 0.5, 1.0]),
-                                        it["ns"].shape))
+                                        it["ns"].shape), duv=duv)
     n_tan = pm.normalize(2.0 * rgb - 1.0)
     ns_new = pm.normalize(
         n_tan[..., 0:1] * it["ss"] + n_tan[..., 1:2] * it["ts"]

@@ -76,6 +76,8 @@ def render_sharded(camera, scene, mesh: Mesh, cfg: PathConfig = PathConfig(),
     inv_lo, inv_hi = sb.vdc_inv_rows(domain)
     sobol_pack = sb.sm32_device()
     r2c, cam_rot, cam_pos = camera.ray_params()
+    dxdy_cam = camera.diff_params()
+    diff_scale = jnp.float32(1.0 / np.sqrt(spp))
     ft = f1d
 
     # check_vma=False: the wavefront while_loop carry starts with replicated
@@ -97,7 +99,8 @@ def render_sharded(camera, scene, mesh: Mesh, cfg: PathConfig = PathConfig(),
             r2c, cam_rot, cam_pos, ft, sobol_pack,
             jnp.float32(domain.resolution),
             jnp.float32(domain.p_min[0]), jnp.float32(domain.p_min[1]),
-            total_spp_log2=pm.log2_int(spp), filter_radius=radius)
+            total_spp_log2=pm.log2_int(spp), filter_radius=radius,
+            dxdy_cam=dxdy_cam, diff_scale=diff_scale)
         return jax.lax.psum(film_local, "tiles")
 
     film_pad = shard_render(scene, jnp.asarray(band_y0s), jnp.asarray(px),

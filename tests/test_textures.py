@@ -169,3 +169,79 @@ def test_normal_mapping_tilts_shading():
         ss, ts = np.asarray(it["ss"])[0], np.asarray(it["ts"])[0]
         assert abs(np.dot(ss, ns)) < 1e-4 and abs(np.dot(ts, ns)) < 1e-4
         assert abs(np.dot(ss, ts)) < 1e-4
+
+
+def test_compute_duv_scales_with_distance():
+    """Screen-space UV derivatives grow linearly with hit distance
+    (interaction.rs:216-281 plane projection)."""
+    import jax.numpy as jnp
+    from pathtracer_tpu.ops.interaction import compute_duv, make_interaction
+    from pathtracer_tpu.ops.intersect import intersect_brute
+    from pathtracer_tpu.scene.scene import pack_tri_attr
+
+    b = SceneBuilder()
+    mat = b.add_material()
+    pos = np.array([[-9, 0, -9], [9, 0, -9], [9, 0, 9], [-9, 0, 9]],
+                   np.float32)
+    idx = np.array([[0, 1, 2], [0, 2, 3]])
+    uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    b.add_mesh(pos, idx, None, uv, mat)
+    sd = b.build()
+    ta = pack_tri_attr(sd)
+
+    def duv_at(height):
+        o = jnp.asarray([[0.3, height, 0.2]], jnp.float32)
+        d = jnp.asarray([[0.0, -1.0, 0.0]], jnp.float32)
+        # auxiliary rays tilted by ~1/1000 per raster step
+        eps = 1e-3
+        rxd = jnp.asarray([[eps, -1.0, 0.0]], jnp.float32)
+        ryd = jnp.asarray([[0.0, -1.0, eps]], jnp.float32)
+        rxd = rxd / jnp.linalg.norm(rxd)
+        ryd = ryd / jnp.linalg.norm(ryd)
+        hit = intersect_brute(o, d, jnp.asarray([np.inf], jnp.float32),
+                              sd.p0, sd.p1, sd.p2)
+        assert bool(np.asarray(hit["valid"])[0])
+        it = make_interaction(sd, o, d, hit, ta)
+        dudx, dvdx, dudy, dvdy = compute_duv(it, o, rxd, ryd)
+        return np.asarray(dudx)[0], np.asarray(dvdy)[0]
+
+    du2, dv2 = duv_at(2.0)
+    du4, dv4 = duv_at(4.0)
+    assert du2 != 0.0 and dv2 != 0.0
+    np.testing.assert_allclose(du4 / du2, 2.0, rtol=0.05)
+    np.testing.assert_allclose(dv4 / dv2, 2.0, rtol=0.05)
+    # plane spans 18 world units / 1 uv unit; at h=2 the x-step is
+    # eps*2 world => dudx ~ 2e-3/18
+    np.testing.assert_allclose(abs(du2), 2e-3 / 18.0, rtol=0.05)
+
+
+def test_mip_level_varies_with_filter_width():
+    """eval_texture picks coarser mips for wider footprints: a checker
+    image converges to its mean when the width covers many texels
+    (texture.rs:430-464 trilinear lookup)."""
+    import jax.numpy as jnp
+    from pathtracer_tpu.ops.bsdf import eval_texture
+
+    b = SceneBuilder()
+    img = np.zeros((64, 64, 3), np.float32)
+    img[::2, :] = [1, 0, 0]
+    img[1::2, :] = [0, 0, 1]
+    tx = b.add_texture_image(img)
+    b.add_material(kd_tx=tx)
+    pos = np.array([[-1, 0, -1], [1, 0, -1], [1, 0, 1]], np.float32)
+    b.add_mesh(pos, np.array([[0, 1, 2]]), None, None, 0)
+    sd = b.build()
+
+    uv = jnp.asarray([[0.25, 16.5 / 64.0]], jnp.float32)  # texel-centered
+    txid = jnp.asarray([tx], jnp.int32)
+    fb = jnp.zeros((1, 3), jnp.float32)
+    zeros = jnp.zeros((1,), jnp.float32)
+
+    near = np.asarray(eval_texture(sd, txid, uv, fb,
+                                   duv=(zeros, zeros, zeros, zeros)))[0]
+    wide = jnp.full((1,), 0.5, jnp.float32)
+    far = np.asarray(eval_texture(sd, txid, uv, fb,
+                                  duv=(wide, zeros, zeros, wide)))[0]
+    # near: a saturated stripe color; far: the 50/50 mean (0.5, 0, 0.5)
+    assert abs(near[0] - near[2]) > 0.9
+    np.testing.assert_allclose(far, [0.5, 0.0, 0.5], atol=0.05)
