@@ -65,7 +65,7 @@ class PathConfig:
     sampler: str = "sobol"  # "sobol" | "stratified" | "random"
 
 
-def _scene_intersect(scene, o, d, t_max):
+def _scene_intersect_raw(scene, o, d, t_max):
     if scene.bvh is not None:
         from .accel.bvh import bvh_intersect
         return bvh_intersect(scene.bvh, scene.data.p0, scene.data.p1,
@@ -78,17 +78,88 @@ def _scene_intersect(scene, o, d, t_max):
                            scene.data.p2)
 
 
+# Bounded re-spawn iterations for alpha cutouts. The reference's recursive
+# traversal rejects masked hits inline and keeps walking (shape.rs:228-244);
+# the wavefront analogue re-spawns cut lanes past the surface and
+# re-intersects the wave. 3 retries = up to 3 stacked cutout layers per ray;
+# deeper stacks degrade to treating the 4th layer as opaque.
+ALPHA_RETRIES = 3
+
+
+def _alpha_cut(scene, hit):
+    """Lanes whose valid hit lands on a zero-alpha texel of a masked tri.
+
+    Returns (cut (N,) bool, p_hit, p_error, ng) for re-spawning.
+    Alpha test semantics mirror shape.rs:228-244: evaluate the mask at the
+    interpolated uv, discard iff exactly 0.
+    """
+    from .ops.gather import take_rows
+    from .scene.scene import (TA_ALPHA, TA_NG0, TA_P0, TA_P1, TA_P2,
+                              TA_UV0, TA_UV1, TA_UV2)
+    from .ops.intersect import GAMMA7
+    rows = take_rows(scene.tri_attr, hit["tri"])
+    txd = rows[:, TA_ALPHA].astype(jnp.int32)
+    b = hit["b"]
+    b0, b1, b2 = b[..., 0:1], b[..., 1:2], b[..., 2:3]
+    uv_hit = b0 * rows[:, TA_UV0] + b1 * rows[:, TA_UV1] + b2 * rows[:, TA_UV2]
+    alpha = bx.eval_texture(scene.data, txd, uv_hit,
+                            jnp.ones(uv_hit.shape[:-1] + (3,)))[..., 0]
+    cut = hit["valid"] & (txd >= 0) & (alpha == 0.0)
+    p0, p1, p2 = rows[:, TA_P0], rows[:, TA_P1], rows[:, TA_P2]
+    p_hit = b0 * p0 + b1 * p1 + b2 * p2
+    p_err = GAMMA7 * (jnp.abs(b0 * p0) + jnp.abs(b1 * p1) + jnp.abs(b2 * p2))
+    return cut, p_hit, p_err, rows[:, TA_NG0]
+
+
+def _scene_intersect(scene, o, d, t_max):
+    hit = _scene_intersect_raw(scene, o, d, t_max)
+    if not scene.has_alpha:
+        return hit
+    for _ in range(ALPHA_RETRIES):
+        cut, p_hit, p_err, ng = _alpha_cut(scene, hit)
+        o = jnp.where(cut[..., None], ia.spawn_ray(p_hit, p_err, ng, d), o)
+        t_max = jnp.where(cut, jnp.maximum(t_max - hit["t"], 0.0), t_max)
+        hit2 = _scene_intersect_raw(scene, o, d, t_max)
+        hit = {k: jnp.where(cut.reshape(cut.shape + (1,) * (hit[k].ndim - 1)),
+                            hit2[k], hit[k]) for k in hit}
+    cut, _, _, _ = _alpha_cut(scene, hit)
+    # retries exhausted: drop still-cut hits (NOTE: hit t for re-spawned
+    # lanes is measured from the last re-spawn origin; no consumer uses it)
+    hit = dict(hit)
+    hit["valid"] = hit["valid"] & ~cut
+    return hit
+
+
 def _scene_intersect_p(scene, o, d, t_max):
-    if scene.bvh is not None:
-        from .accel.bvh import bvh_intersect
-        return bvh_intersect(scene.bvh, scene.data.p0, scene.data.p1,
-                             scene.data.p2, o, d, t_max, any_hit=True)
-    if scene.use_pallas:
-        from .ops.pallas.intersect_pl import intersect_pallas, pack_triangles
-        pack = pack_triangles(scene.data.p0, scene.data.p1, scene.data.p2)
-        return intersect_pallas(o, d, t_max, pack, any_hit=True)
-    return intersect_p_brute(o, d, t_max, scene.data.p0, scene.data.p1,
-                             scene.data.p2)
+    if not scene.has_alpha:
+        if scene.bvh is not None:
+            from .accel.bvh import bvh_intersect
+            return bvh_intersect(scene.bvh, scene.data.p0, scene.data.p1,
+                                 scene.data.p2, o, d, t_max, any_hit=True)
+        if scene.use_pallas:
+            from .ops.pallas.intersect_pl import (intersect_pallas,
+                                                  pack_triangles)
+            pack = pack_triangles(scene.data.p0, scene.data.p1,
+                                  scene.data.p2)
+            return intersect_pallas(o, d, t_max, pack, any_hit=True)
+        return intersect_p_brute(o, d, t_max, scene.data.p0, scene.data.p1,
+                                 scene.data.p2)
+    # alpha scenes: shadow rays need the hit uv to test the mask
+    # (shape.rs:471-521), so walk closest hits past cut surfaces
+    occluded = jnp.zeros(t_max.shape, bool)
+    searching = jnp.ones(t_max.shape, bool)
+    for k in range(ALPHA_RETRIES + 1):
+        hit = _scene_intersect_raw(scene, o, d, t_max)
+        cut, p_hit, p_err, ng = _alpha_cut(scene, hit)
+        occluded = occluded | (searching & hit["valid"] & ~cut)
+        searching = searching & cut
+        if k < ALPHA_RETRIES:
+            o = jnp.where(searching[..., None],
+                          ia.spawn_ray(p_hit, p_err, ng, d), o)
+            t_max = jnp.where(searching,
+                              jnp.maximum(t_max - hit["t"], 0.0), t_max)
+    # retries exhausted: treat the remaining cut layer as opaque
+    return occluded | searching
 
 
 @dataclasses.dataclass(frozen=True)
@@ -118,6 +189,8 @@ class TracedScene:
     has_env: bool = True
     n_lights: int = 1
     light_set: tuple = (0, 1, 2, 3)
+    # static: any triangle carries an alpha cutout mask (shape.rs:228-244)
+    has_alpha: bool = False
 
     @staticmethod
     def create(scene_data, use_bvh: bool | None = None,
@@ -160,18 +233,21 @@ class TracedScene:
             n_lights=int(_np.asarray(scene_data.n_lights)),
             light_set=tuple(sorted(set(
                 _np.asarray(scene_data.light_type).tolist())))
-            if int(_np.asarray(scene_data.n_lights)) > 0 else ())
+            if int(_np.asarray(scene_data.n_lights)) > 0 else (),
+            has_alpha=bool(
+                (_np.asarray(scene_data.tri_alpha_txd) >= 0).any()))
 
 
 jax.tree_util.register_pytree_node(
     TracedScene,
     lambda s: ((s.data, s.bvh, s.tri_attr, s.light_attr, s.mat_attr),
                (s.use_pallas, s.mat_set, s.has_normal_maps, s.has_tex,
-                s.has_env, s.n_lights, s.light_set)),
+                s.has_env, s.n_lights, s.light_set, s.has_alpha)),
     lambda aux, kids: TracedScene(
         kids[0], kids[1], aux[0], aux[1], aux[2],
         tri_attr=kids[2], light_attr=kids[3], mat_attr=kids[4],
-        has_tex=aux[3], has_env=aux[4], n_lights=aux[5], light_set=aux[6]),
+        has_tex=aux[3], has_env=aux[4], n_lights=aux[5], light_set=aux[6],
+        has_alpha=aux[7]),
 )
 
 

@@ -156,8 +156,13 @@ def _load_texture_image(gf: "GLTFFile", tex_index: int):
 
 
 def _material_row(builder: SceneBuilder, mat: dict,
-                  gf: "GLTFFile | None" = None) -> int:
-    """Reference material map (pathtracer/importer/gltf.rs:167-289)."""
+                  gf: "GLTFFile | None" = None) -> tuple[int, int]:
+    """Reference material map (pathtracer/importer/gltf.rs:167-289).
+
+    Returns (material row, alpha-mask texture descriptor or -1). The mask
+    is the base-color texture's alpha channel when alphaMode == MASK
+    (importer/gltf.rs:291-330; the reference tests it for exact 0 at hits,
+    shape.rs:228-244 — alphaCutoff is ignored there too)."""
     pbr = mat.get("pbrMetallicRoughness", {})
     base = pbr.get("baseColorFactor", [1.0, 1.0, 1.0, 1.0])
     # from_slice_4(..., true): sRGB-decode the color factor
@@ -167,18 +172,25 @@ def _material_row(builder: SceneBuilder, mat: dict,
         .get("ior", 1.5)
     transmission = mat.get("extensions", {}) \
         .get("KHR_materials_transmission", {}).get("transmissionFactor", 0.0)
+    alpha_txd = -1
+    if gf is not None and mat.get("alphaMode") == "MASK" \
+            and "baseColorTexture" in pbr:
+        img = _load_texture_image(gf, pbr["baseColorTexture"]["index"])
+        if img is not None and img.shape[-1] == 4:
+            alpha = np.repeat(img[..., 3:4], 3, axis=-1)
+            alpha_txd = builder.add_texture_image(alpha)
     if transmission == 1.0:
         return builder.add_material(mtype=MAT_GLASS, kd=(1, 1, 1),
-                                    ks=(1, 1, 1), eta=(ior,) * 3)
+                                    ks=(1, 1, 1), eta=(ior,) * 3), alpha_txd
     alpha = base[3]
     if mat.get("alphaMode") == "BLEND" and alpha < 1.0:
         kt = 1.0 - alpha * color
         return builder.add_material(mtype=MAT_GLASS, kd=(1, 1, 1),
-                                    ks=tuple(kt), eta=(1.33,) * 3)
+                                    ks=tuple(kt), eta=(1.33,) * 3), alpha_txd
     metallic = pbr.get("metallicFactor", 1.0)
     roughness = pbr.get("roughnessFactor", 1.0)
     if metallic == 1.0 and roughness == 0.0:
-        return builder.add_material(mtype=MAT_MIRROR)
+        return builder.add_material(mtype=MAT_MIRROR), alpha_txd
     kd_tx = metallic_tx = rough_tx = normal_tx = -1
     if gf is not None and "normalTexture" in mat:
         img = _load_texture_image(gf, mat["normalTexture"]["index"])
@@ -203,7 +215,7 @@ def _material_row(builder: SceneBuilder, mat: dict,
         mtype=MAT_DISNEY, kd=tuple(color),
         eta=(ior,) * 3, misc=(metallic, roughness, 0.0, 0.0),
         kd_tx=kd_tx, metallic_tx=metallic_tx, rough_tx=rough_tx,
-        normal_tx=normal_tx)
+        normal_tx=normal_tx), alpha_txd
 
 
 def load_gltf(path: str, resolution=None, default_lights: bool = False):
@@ -215,8 +227,10 @@ def load_gltf(path: str, resolution=None, default_lights: bool = False):
     builder = SceneBuilder()
     # default material at slot 0 (ref from_gltf:520: default_material first)
     builder.add_material(mtype=MAT_MATTE, kd=(0.5, 0.5, 0.5))
+    alpha_by_mrow = {}
     for mat in doc.get("materials", []):
-        _material_row(builder, mat, gf)
+        mrow, a_txd = _material_row(builder, mat, gf)
+        alpha_by_mrow[mrow] = a_txd
 
     cam_result = {}
 
@@ -261,7 +275,8 @@ def load_gltf(path: str, resolution=None, default_lights: bool = False):
                         # for all three channels (importer/gltf.rs:396-401)
                         emission = np.full(
                             3, EMISSIVE_SCALING_FACTOR * ef[0], np.float32)
-                builder.add_mesh(pos_w, idxs, nrm_w, uvs, mrow, emission)
+                builder.add_mesh(pos_w, idxs, nrm_w, uvs, mrow, emission,
+                                 alpha_txd=alpha_by_mrow.get(mrow, -1))
         if "extensions" in node and \
                 "KHR_lights_punctual" in node["extensions"]:
             li = node["extensions"]["KHR_lights_punctual"]["light"]

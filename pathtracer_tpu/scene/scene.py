@@ -51,6 +51,7 @@ class SceneData:
     material_id: Any  # (F,) i32
     area_light_id: Any  # (F,) i32, -1 if not emissive
     tri_ng: Any  # (F,3) per-tri geometric normal, pre-face-forwarded
+    tri_alpha_txd: Any  # (F,) i32 alpha-mask texture descriptor, -1 = none
 
     # material table (M, ...)
     mat_type: Any  # (M,) i32
@@ -132,7 +133,8 @@ TA_KE = slice(36, 39)    # per-tri emission (area lights; zeros otherwise)
 TA_MAT = 39
 TA_LID = 40
 TA_HASN = 41
-TA_WIDTH = 42
+TA_ALPHA = 42            # alpha-mask texture descriptor id (-1 = none)
+TA_WIDTH = 43
 
 # light_attr columns (L, 26)
 LA_TYPE = 0
@@ -217,6 +219,7 @@ def pack_tri_attr(sd: "SceneData") -> jnp.ndarray:
         np.asarray(sd.material_id, np.float32)[:, None],
         lid.astype(np.float32)[:, None],
         np.asarray(sd.has_normals, np.float32)[:, None],
+        np.asarray(sd.tri_alpha_txd, np.float32)[:, None],
     ], axis=1).astype(np.float32)
     assert cols.shape[1] == TA_WIDTH
     return jnp.asarray(cols)
@@ -280,6 +283,7 @@ def reorder_triangles(scene: "SceneData", order: np.ndarray) -> "SceneData":
         material_id=scene.material_id[idx],
         area_light_id=scene.area_light_id[idx],
         tri_ng=scene.tri_ng[idx],
+        tri_alpha_txd=scene.tri_alpha_txd[idx],
         light_tri=light_tri,
     )
 
@@ -297,6 +301,7 @@ class SceneBuilder:
         self.tri_uv: list[np.ndarray] = []
         self.tri_mat: list[np.ndarray] = []
         self.tri_light: list[np.ndarray] = []
+        self.tri_alpha: list[np.ndarray] = []
         self.materials: list[dict] = []
         self.lights: list[dict] = []
         self.env: dict | None = None
@@ -332,12 +337,15 @@ class SceneBuilder:
 
     def add_mesh(self, positions: np.ndarray, indices: np.ndarray,
                  normals: np.ndarray | None, uvs: np.ndarray | None,
-                 material_id: int, emission: np.ndarray | None = None) -> None:
+                 material_id: int, emission: np.ndarray | None = None,
+                 alpha_txd: int = -1) -> None:
         """Add a world-space triangle mesh.
 
         positions (V,3), indices (F,3) int, normals (V,3) or None,
         uvs (V,2) or None. If emission is set, one DiffuseAreaLight is
-        created per triangle (ref importer/mitsuba.rs:309-330).
+        created per triangle (ref importer/mitsuba.rs:309-330). alpha_txd:
+        texture-descriptor id of a per-mesh alpha cutout mask — hits where
+        it evaluates to exactly 0 are discarded (ref shape.rs:228-244).
         """
         positions = np.asarray(positions, np.float32)
         indices = np.asarray(indices, np.int64)
@@ -356,6 +364,7 @@ class SceneBuilder:
             default_uv = np.array([[0, 0], [1, 0], [1, 1]], np.float32)
             self.tri_uv.append(np.broadcast_to(default_uv, (f, 3, 2)).copy())
         self.tri_mat.append(np.full(f, material_id, np.int32))
+        self.tri_alpha.append(np.full(f, alpha_txd, np.int32))
         if emission is not None:
             light_ids = []
             for i in range(f):
@@ -401,6 +410,7 @@ class SceneBuilder:
         uv = np.concatenate(self.tri_uv)
         mat = np.concatenate(self.tri_mat)
         lid = np.concatenate(self.tri_light)
+        alpha_txd = np.concatenate(self.tri_alpha)
 
         # per-triangle geometric normal, face-forwarded toward the vertex
         # normals (constant across a triangle) — lets emission lookups skip
@@ -483,6 +493,7 @@ class SceneBuilder:
             material_id=jnp.asarray(mat, jnp.int32),
             area_light_id=jnp.asarray(lid, jnp.int32),
             tri_ng=_as_f32(ng),
+            tri_alpha_txd=jnp.asarray(alpha_txd, jnp.int32),
             mat_type=jnp.asarray([mm["mtype"] for mm in mats], jnp.int32),
             mat_kd=_as_f32([mm["kd"] for mm in mats]),
             mat_ks=_as_f32([mm["ks"] for mm in mats]),
