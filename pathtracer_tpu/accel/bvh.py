@@ -46,7 +46,13 @@ class _HashableArray:
 
 @dataclasses.dataclass
 class BVHArrays:
-    """Flattened BVH as device arrays (SoA LinearBVHNode)."""
+    """Flattened BVH as device arrays (SoA LinearBVHNode).
+
+    ``nodes`` packs every per-node field into one (M, 12) f32 row
+    [bmin, bmax, offset, n_prims, axis, pad] so traversal does ONE row
+    gather per pop instead of five (TPU gathers are the traversal
+    bottleneck; int fields ride as exact f32 — offsets are asserted
+    < 2^24 at build)."""
 
     bounds_min: jnp.ndarray  # (M, 3)
     bounds_max: jnp.ndarray  # (M, 3)
@@ -55,13 +61,30 @@ class BVHArrays:
     axis: jnp.ndarray  # (M,) split axis of interior nodes
     order: np.ndarray  # (F,) host-side triangle permutation applied
     max_leaf: int
+    nodes: jnp.ndarray = None  # (M, 12) packed rows
+
+
+def _pack_nodes(bmin, bmax, off, npr, ax) -> jnp.ndarray:
+    bmin = np.asarray(bmin, np.float32)
+    m = bmin.shape[0]
+    assert m < (1 << 24), "node offsets must stay exact in f32"
+    cols = np.concatenate([
+        bmin, np.asarray(bmax, np.float32),
+        np.asarray(off, np.float32)[:, None],
+        np.asarray(npr, np.float32)[:, None],
+        np.asarray(ax, np.float32)[:, None],
+        np.zeros((m, 3), np.float32),
+    ], axis=1)
+    return jnp.asarray(cols)
 
 
 jax.tree_util.register_pytree_node(
     BVHArrays,
-    lambda b: ((b.bounds_min, b.bounds_max, b.offset, b.n_prims, b.axis),
+    lambda b: ((b.bounds_min, b.bounds_max, b.offset, b.n_prims, b.axis,
+                b.nodes),
                (_HashableArray(b.order), b.max_leaf)),
-    lambda aux, kids: BVHArrays(*kids, order=aux[0].a, max_leaf=aux[1]),
+    lambda aux, kids: BVHArrays(*kids[:5], order=aux[0].a, max_leaf=aux[1],
+                                nodes=kids[5]),
 )
 
 
@@ -82,7 +105,8 @@ def build_bvh(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
             return BVHArrays(
                 bounds_min=jnp.asarray(bmin), bounds_max=jnp.asarray(bmax),
                 offset=jnp.asarray(off), n_prims=jnp.asarray(npr),
-                axis=jnp.asarray(ax), order=order, max_leaf=max_prims)
+                axis=jnp.asarray(ax), order=order, max_leaf=max_prims,
+                nodes=_pack_nodes(bmin, bmax, off, npr, ax))
     f = len(p0)
     lo = np.minimum(np.minimum(p0, p1), p2).astype(np.float32)
     hi = np.maximum(np.maximum(p0, p1), p2).astype(np.float32)
@@ -166,14 +190,20 @@ def build_bvh(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
     build(np.arange(f))
     sys.setrecursionlimit(rec_limit)
     perm = np.concatenate(order) if order else np.arange(0)
+    bmin_h = np.stack(nb_min)
+    bmax_h = np.stack(nb_max)
+    off_h = np.asarray(noffset, np.int32)
+    npr_h = np.asarray(nprims, np.int32)
+    ax_h = np.asarray(naxis, np.int32)
     return BVHArrays(
-        bounds_min=jnp.asarray(np.stack(nb_min)),
-        bounds_max=jnp.asarray(np.stack(nb_max)),
-        offset=jnp.asarray(np.asarray(noffset, np.int32)),
-        n_prims=jnp.asarray(np.asarray(nprims, np.int32)),
-        axis=jnp.asarray(np.asarray(naxis, np.int32)),
+        bounds_min=jnp.asarray(bmin_h),
+        bounds_max=jnp.asarray(bmax_h),
+        offset=jnp.asarray(off_h),
+        n_prims=jnp.asarray(npr_h),
+        axis=jnp.asarray(ax_h),
         order=perm,
         max_leaf=max_prims,
+        nodes=_pack_nodes(bmin_h, bmax_h, off_h, npr_h, ax_h),
     )
 
 
@@ -195,12 +225,14 @@ def _slab_test(bmin, bmax, o, inv_d, t_best):
     return (tn <= tf) & (tf > 0.0) & (tn < t_best)
 
 
-def bvh_intersect(bvh: BVHArrays, scene_p0, scene_p1, scene_p2,
-                  o, d, t_max, any_hit: bool = False):
+def bvh_intersect(bvh: BVHArrays, tri_pack, o, d, t_max,
+                  any_hit: bool = False):
     """Lane-parallel BVH traversal (device).
 
-    scene_p* must already be in BVH order. Returns the same hit record as
-    intersect_brute; for any_hit=True, returns (N,) bool occlusion.
+    tri_pack: (F, 12) packed [p0 p1 p2 pad] rows (ops/pallas pack_triangles)
+    already in BVH order — one row gather per leaf-triangle test instead
+    of three. Returns the same hit record as intersect_brute; for
+    any_hit=True, returns (N,) bool occlusion.
     """
     n = o.shape[0]
     f32 = jnp.float32
@@ -232,12 +264,13 @@ def bvh_intersect(bvh: BVHArrays, scene_p0, scene_p1, scene_p2,
         node = st["stack"][rows, jnp.minimum(sp, STACK_DEPTH - 1)]
         node = jnp.where(live, node, 0)
 
-        near = _slab_test(bvh.bounds_min[node], bvh.bounds_max[node],
+        nrow = bvh.nodes[node]  # ONE packed row gather per pop
+        near = _slab_test(nrow[:, 0:3], nrow[:, 3:6],
                           o, inv_d, st["t_best"]) & live
 
-        n_p = bvh.n_prims[node]
-        off = bvh.offset[node]
-        axis = bvh.axis[node]
+        off = nrow[:, 6].astype(jnp.int32)
+        n_p = nrow[:, 7].astype(jnp.int32)
+        axis = nrow[:, 8].astype(jnp.int32)
         is_leaf = n_p > 0
 
         # --- leaf: watertight test on up to max_leaf triangles
@@ -246,8 +279,9 @@ def bvh_intersect(bvh: BVHArrays, scene_p0, scene_p1, scene_p2,
         for k in range(bvh.max_leaf):
             in_leaf = leaf_hit & (k < n_p)
             pid = jnp.where(in_leaf, off + k, 0)
+            trow = tri_pack[pid]  # one packed row gather per candidate
             t_k, b_k, hit_k = watertight_hit_diag(
-                o, d, t_best, scene_p0[pid], scene_p1[pid], scene_p2[pid])
+                o, d, t_best, trow[:, 0:3], trow[:, 3:6], trow[:, 6:9])
             take = in_leaf & hit_k
             t_best = jnp.where(take, t_k, t_best)
             tri = jnp.where(take, pid, tri)

@@ -53,6 +53,15 @@ DIM_BSDF = 5
 DIM_RR = 7
 
 
+def _bounce_stride(cfg, n_lights: int) -> int:
+    """Sobol dims consumed per bounce. light_strategy="all" appends 4
+    dims (u_light, u_scatter) per light after the base slots."""
+    if cfg.light_strategy == "all":
+        assert n_lights <= 24, "all-lights strategy capped at 24 lights"
+        return DIMS_PER_BOUNCE + 4 * n_lights
+    return DIMS_PER_BOUNCE
+
+
 @dataclasses.dataclass(frozen=True)
 class PathConfig:
     """Integrator knobs (ref integrator.rs:219-246)."""
@@ -63,17 +72,20 @@ class PathConfig:
     rr_enable: bool = True
     sanitize: bool = True  # zero non-finite radiance instead of logging
     sampler: str = "sobol"  # "sobol" | "stratified" | "random"
+    # NEE strategy: "one" = uniform_sample_one_light (integrator.rs:192-217,
+    # the li() default), "all" = uniform_sample_all_lights (:141-189, one
+    # sample per light; the reference's per-light sample arrays become
+    # per-light static Sobol dimension slots)
+    light_strategy: str = "one"
 
 
 def _scene_intersect_raw(scene, o, d, t_max):
     if scene.bvh is not None:
         from .accel.bvh import bvh_intersect
-        return bvh_intersect(scene.bvh, scene.data.p0, scene.data.p1,
-                             scene.data.p2, o, d, t_max)
+        return bvh_intersect(scene.bvh, scene.tri_pack, o, d, t_max)
     if scene.use_pallas:
-        from .ops.pallas.intersect_pl import intersect_pallas, pack_triangles
-        pack = pack_triangles(scene.data.p0, scene.data.p1, scene.data.p2)
-        return intersect_pallas(o, d, t_max, pack)
+        from .ops.pallas.intersect_pl import intersect_pallas
+        return intersect_pallas(o, d, t_max, scene.tri_pack)
     return intersect_brute(o, d, t_max, scene.data.p0, scene.data.p1,
                            scene.data.p2)
 
@@ -134,14 +146,12 @@ def _scene_intersect_p(scene, o, d, t_max):
     if not scene.has_alpha:
         if scene.bvh is not None:
             from .accel.bvh import bvh_intersect
-            return bvh_intersect(scene.bvh, scene.data.p0, scene.data.p1,
-                                 scene.data.p2, o, d, t_max, any_hit=True)
+            return bvh_intersect(scene.bvh, scene.tri_pack, o, d, t_max,
+                                 any_hit=True)
         if scene.use_pallas:
-            from .ops.pallas.intersect_pl import (intersect_pallas,
-                                                  pack_triangles)
-            pack = pack_triangles(scene.data.p0, scene.data.p1,
-                                  scene.data.p2)
-            return intersect_pallas(o, d, t_max, pack, any_hit=True)
+            from .ops.pallas.intersect_pl import intersect_pallas
+            return intersect_pallas(o, d, t_max, scene.tri_pack,
+                                    any_hit=True)
         return intersect_p_brute(o, d, t_max, scene.data.p0, scene.data.p1,
                                  scene.data.p2)
     # alpha scenes: shadow rays need the hit uv to test the mask
@@ -181,6 +191,7 @@ class TracedScene:
     tri_attr: Any = None  # (F, TA_WIDTH)
     light_attr: Any = None  # (L, LA_WIDTH)
     mat_attr: Any = None  # (M, MA_WIDTH)
+    tri_pack: Any = None  # (F, 12) [p0 p1 p2 pad] rows for intersection
     # static: any used material binds a texture (kd/ks/metallic/rough)
     has_tex: bool = True
     # static: environment light present / number of lights / light types
@@ -223,8 +234,11 @@ class TracedScene:
                             _np.asarray(scene_data.p1),
                             _np.asarray(scene_data.p2), max_leaf)
             scene_data = reorder_triangles(scene_data, bvh.order)
+        from .ops.pallas.intersect_pl import pack_triangles
         return TracedScene(
             scene_data, bvh, use_pallas, mat_set, has_nm,
+            tri_pack=pack_triangles(scene_data.p0, scene_data.p1,
+                                    scene_data.p2),
             tri_attr=pack_tri_attr(scene_data),
             light_attr=pack_light_attr(scene_data),
             mat_attr=pack_mat_attr(scene_data),
@@ -240,12 +254,14 @@ class TracedScene:
 
 jax.tree_util.register_pytree_node(
     TracedScene,
-    lambda s: ((s.data, s.bvh, s.tri_attr, s.light_attr, s.mat_attr),
+    lambda s: ((s.data, s.bvh, s.tri_attr, s.light_attr, s.mat_attr,
+                s.tri_pack),
                (s.use_pallas, s.mat_set, s.has_normal_maps, s.has_tex,
                 s.has_env, s.n_lights, s.light_set, s.has_alpha)),
     lambda aux, kids: TracedScene(
         kids[0], kids[1], aux[0], aux[1], aux[2],
         tri_attr=kids[2], light_attr=kids[3], mat_attr=kids[4],
+        tri_pack=kids[5],
         has_tex=aux[3], has_env=aux[4], n_lights=aux[5], light_set=aux[6],
         has_alpha=aux[7]),
 )
@@ -359,10 +375,11 @@ def trace_wave(scene, cfg: PathConfig, draw, draw2, o, d,
     specular = jnp.zeros((n,), bool)
     eta_scale = jnp.ones((n,), f32)
     rays = jnp.float32(0.0)
+    stride = _bounce_stride(cfg, scene.n_lights)
 
     for bounce in range(cfg.max_depth + 1):
         last = bounce == cfg.max_depth
-        dim_base = 2 + DIMS_PER_BOUNCE * bounce
+        dim_base = 2 + stride * bounce
 
         rays = rays + jnp.sum(active.astype(f32))
         hit = _scene_intersect(scene, o, d, jnp.full((n,), jnp.inf, f32))
@@ -401,19 +418,34 @@ def trace_wave(scene, cfg: PathConfig, draw, draw2, o, d,
         # statically skipped for specular-only or lightless scenes
         if do_nee:
             nonspec = bx.has_nonspecular(mp["mtype"]) & cont
-            u_light = draw2(dim_base + DIM_U_LIGHT)
-            u_scatt = draw2(dim_base + DIM_U_SCATTER)
-            n_l = np.float32(scene.n_lights)
-            if scene.n_lights > 1:
-                u_pick = draw(dim_base + DIM_LIGHT_PICK)
-                light_idx = jnp.minimum((u_pick * n_l).astype(jnp.int32),
-                                        scene.n_lights - 1)
+            if cfg.light_strategy == "all":
+                # uniform_sample_all_lights (integrator.rs:141-189): one
+                # sample per light, own dim slots, summed (no 1/L scaling)
+                ld = jnp.zeros((n, 3), f32)
+                for li_i in range(scene.n_lights):
+                    db = dim_base + DIMS_PER_BOUNCE + 4 * li_i
+                    u_light = draw2(db)
+                    u_scatt = draw2(db + 2)
+                    idx_i = jnp.full((n,), li_i, jnp.int32)
+                    ld = ld + estimate_direct(scene, cfg, it, mp, u_scatt,
+                                              u_light, idx_i, wo)
+                l = l + jnp.where(nonspec[..., None], beta * ld, 0.0)
+                rays = rays + 2.0 * scene.n_lights * \
+                    jnp.sum(nonspec.astype(f32))
             else:
-                light_idx = jnp.zeros((n,), jnp.int32)
-            ld = estimate_direct(scene, cfg, it, mp, u_scatt, u_light,
-                                 light_idx, wo)
-            l = l + jnp.where(nonspec[..., None], beta * ld * n_l, 0.0)
-            rays = rays + 2.0 * jnp.sum(nonspec.astype(f32))  # shadow + MIS
+                u_light = draw2(dim_base + DIM_U_LIGHT)
+                u_scatt = draw2(dim_base + DIM_U_SCATTER)
+                n_l = np.float32(scene.n_lights)
+                if scene.n_lights > 1:
+                    u_pick = draw(dim_base + DIM_LIGHT_PICK)
+                    light_idx = jnp.minimum((u_pick * n_l).astype(jnp.int32),
+                                            scene.n_lights - 1)
+                else:
+                    light_idx = jnp.zeros((n,), jnp.int32)
+                ld = estimate_direct(scene, cfg, it, mp, u_scatt, u_light,
+                                     light_idx, wo)
+                l = l + jnp.where(nonspec[..., None], beta * ld * n_l, 0.0)
+                rays = rays + 2.0 * jnp.sum(nonspec.astype(f32))
 
         # --- BSDF sampling for the next bounce (:449-468)
         u_bsdf = draw2(dim_base + DIM_BSDF)
@@ -599,15 +631,11 @@ class PathIntegrator:
         ws, hs = x1 - x0, y1 - y0
         domain = sb.SobolDomain.create((x0, y0), (x1, y1), self.spp)
 
+        # ~131k-ray waves: large enough to amortize per-pass overheads,
+        # validated on hardware for BVH scenes up to 165k rays (the round-1
+        # >20k-ray worker crash disappeared with the unrolled bounce loop +
+        # packed-node traversal; tools/crash_repro.py re-checks the matrix)
         band = self.band_rows or max(1, (1 << 17) // ws)
-        # WORKAROUND: BVH-traversal waves above ~20k rays crash the TPU
-        # worker on the axon backend (kernel fault; cornell-sized scenes and
-        # standalone traversal at 80k rays are fine — the fused program
-        # with deep BVHs is not). Cap the wave until the root cause is
-        # found; brute-force/pallas scenes keep the big bands.
-        if scene.bvh is not None and self.band_rows is None and \
-                jax.default_backend() != "cpu":
-            band = min(band, max(1, 20_000 // ws))
         band = min(band, hs)
         n_bands = -(-hs // band)
         chunk = pm.round_up_pow2(min(chunk_spp or self.spp, self.spp))

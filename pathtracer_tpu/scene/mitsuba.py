@@ -77,7 +77,7 @@ def _texture_from_el(builder: SceneBuilder, el, scene_dir: str = ".") -> int:
         fname = _strings(tex)["filename"]
         path = os.path.join(scene_dir, fname)
         if fname.lower().endswith(".png") and os.path.exists(path):
-            img = read_png(path).astype(np.float32) / 255.0
+            img = read_png(path).astype(np.float32)[..., :3] / 255.0
             return builder.add_texture_image(
                 img, uv=(1.0, -1.0, 0.0, 0.0), srgb=True)
     return -1

@@ -13,9 +13,10 @@ import numpy as np
 
 
 def write_png(path: str, rgb8: np.ndarray) -> None:
-    """Write (H, W, 3) uint8 as PNG."""
+    """Write (H, W, 3) RGB or (H, W, 4) RGBA uint8 as PNG."""
     h, w, c = rgb8.shape
-    assert c == 3 and rgb8.dtype == np.uint8
+    assert c in (3, 4) and rgb8.dtype == np.uint8
+    color_type = 2 if c == 3 else 6
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         return (struct.pack(">I", len(data)) + tag + data
@@ -23,7 +24,8 @@ def write_png(path: str, rgb8: np.ndarray) -> None:
 
     raw = b"".join(b"\x00" + rgb8[y].tobytes() for y in range(h))
     png = (b"\x89PNG\r\n\x1a\n"
-           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IHDR",
+                   struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
            + chunk(b"IDAT", zlib.compress(raw, 6))
            + chunk(b"IEND", b""))
     with open(path, "wb") as f:
@@ -84,8 +86,7 @@ def read_png(path: str) -> np.ndarray:
             raise ValueError(f"unsupported PNG filter {ft}")
         out[y] = cur.astype(np.uint8)
         prev = cur
-    img = out.reshape(h, w, nch)
-    return img[..., :3]
+    return out.reshape(h, w, nch)  # (H, W, 3) RGB or (H, W, 4) RGBA
 
 
 def read_hdr(path: str) -> np.ndarray:

@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import pytest
 
 from pathtracer_tpu.accel.bvh import build_bvh, bvh_intersect
+from pathtracer_tpu.ops.pallas.intersect_pl import pack_triangles
 from pathtracer_tpu.integrator import TracedScene
 from pathtracer_tpu.ops.intersect import intersect_brute, intersect_p_brute
 from pathtracer_tpu.scene.mitsuba import load_mitsuba
@@ -31,7 +32,7 @@ def test_bvh_closest_matches_brute(cornell_bvh):
     o, d = _random_rays(n)
     tmax = jnp.full(n, np.inf, jnp.float32)
     hb = intersect_brute(o, d, tmax, ts.data.p0, ts.data.p1, ts.data.p2)
-    hv = bvh_intersect(ts.bvh, ts.data.p0, ts.data.p1, ts.data.p2, o, d, tmax)
+    hv = bvh_intersect(ts.bvh, ts.tri_pack, o, d, tmax)
     np.testing.assert_array_equal(np.asarray(hb["valid"]),
                                   np.asarray(hv["valid"]))
     both = np.asarray(hb["valid"])
@@ -52,8 +53,7 @@ def test_bvh_any_hit_matches_brute(cornell_bvh):
     o, d = _random_rays(n, seed=5)
     tmax = jnp.full(n, 1.5, jnp.float32)
     pb = intersect_p_brute(o, d, tmax, ts.data.p0, ts.data.p1, ts.data.p2)
-    pv = bvh_intersect(ts.bvh, ts.data.p0, ts.data.p1, ts.data.p2, o, d,
-                       tmax, any_hit=True)
+    pv = bvh_intersect(ts.bvh, ts.tri_pack, o, d, tmax, any_hit=True)
     np.testing.assert_array_equal(np.asarray(pb), np.asarray(pv))
 
 
@@ -104,8 +104,10 @@ def test_bvh_degenerate_centroids_split_not_leaf():
         tmax = jnp.full(f, np.inf, jnp.float32)
         hb = intersect_brute(o, d, tmax, jnp.asarray(sp0), jnp.asarray(sp1),
                              jnp.asarray(sp2))
-        hv = bvh_intersect(bvh, jnp.asarray(sp0), jnp.asarray(sp1),
-                           jnp.asarray(sp2), o, d, tmax)
+        hv = bvh_intersect(bvh, pack_triangles(jnp.asarray(sp0),
+                                               jnp.asarray(sp1),
+                                               jnp.asarray(sp2)),
+                           o, d, tmax)
         np.testing.assert_array_equal(np.asarray(hb["valid"]),
                                       np.asarray(hv["valid"]))
         assert np.asarray(hv["valid"]).all()

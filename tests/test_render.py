@@ -132,3 +132,21 @@ def test_checkpoint_path_without_extension(tmp_path, cornell):
     f2 = integ2.render_progressive(cam, scene, chunk_spp=1, checkpoint=ck)
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
     assert integ2.last_ray_count == 0.0  # resumed at next_frame == spp
+
+
+def test_all_lights_strategy_matches_one_light_mean(cornell):
+    """uniform_sample_all_lights (integrator.rs:141-189) converges to the
+    same direct lighting as one-light sampling x n_lights."""
+    cam, scene, _ = cornell
+    f_one = PathIntegrator(PathConfig(max_depth=1,
+                                      light_strategy="one"),
+                           spp=64).render(cam, scene)
+    f_all = PathIntegrator(PathConfig(max_depth=1,
+                                      light_strategy="all"),
+                           spp=16).render(cam, scene)
+    r_one = np.asarray(to_rgb(f_one))
+    r_all = np.asarray(to_rgb(f_all))
+    assert np.isfinite(r_all).all()
+    # same expectation: per-image means within MC noise
+    np.testing.assert_allclose(r_all.mean((0, 1)), r_one.mean((0, 1)),
+                               rtol=0.05)
