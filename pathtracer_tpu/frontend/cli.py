@@ -90,6 +90,24 @@ def main(argv=None) -> int:
                     "default resolution")
         resolution = DEFAULT_RESOLUTION
 
+    # runtime log-level switching (ref slog_atomic bound to the T key,
+    # main.rs:65-66 + viewer/mod.rs:199-212): headless analogue is
+    # SIGUSR1 — each signal cycles the root level INFO<->TRACE(DEBUG)
+    import signal
+
+    def _toggle_level(_sig, _frm):
+        import logging as _logging
+        from ..utils.logging import ROOT, set_level
+        cur = _logging.getLogger(ROOT).level
+        new = "DEBUG" if cur > _logging.DEBUG else "INFO"
+        set_level(new)
+        log.warning("log level switched to %s (SIGUSR1)", new)
+
+    try:
+        signal.signal(signal.SIGUSR1, _toggle_level)
+    except (ValueError, AttributeError):  # non-main thread / platform
+        pass
+
     camera, scene, settings = load_scene(args.scene, resolution,
                                          args.default_lights)
     log.debug("scene settings: %s", settings)

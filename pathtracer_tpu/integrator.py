@@ -127,17 +127,30 @@ def _scene_intersect(scene, o, d, t_max):
     hit = _scene_intersect_raw(scene, o, d, t_max)
     if not scene.has_alpha:
         return hit
-    for _ in range(ALPHA_RETRIES):
-        cut, p_hit, p_err, ng = _alpha_cut(scene, hit)
+    # early-exit retry loop: most waves have no cut lanes after the first
+    # pass (and secondary/shadow waves often none at all), so the retry
+    # traversal body — compiled ONCE, not unrolled — usually never runs
+    cut0, p_hit0, p_err0, ng0 = _alpha_cut(scene, hit)
+
+    def cond(st):
+        return (st[0] < ALPHA_RETRIES) & jnp.any(st[4])
+
+    def body(st):
+        k, o, t_max, hit, cut, p_hit, p_err, ng = st
         o = jnp.where(cut[..., None], ia.spawn_ray(p_hit, p_err, ng, d), o)
         t_max = jnp.where(cut, jnp.maximum(t_max - hit["t"], 0.0), t_max)
         hit2 = _scene_intersect_raw(scene, o, d, t_max)
-        hit = {k: jnp.where(cut.reshape(cut.shape + (1,) * (hit[k].ndim - 1)),
-                            hit2[k], hit[k]) for k in hit}
-    cut, _, _, _ = _alpha_cut(scene, hit)
+        hit = {key: jnp.where(
+            cut.reshape(cut.shape + (1,) * (hit[key].ndim - 1)),
+            hit2[key], hit[key]) for key in hit}
+        cut, p_hit, p_err, ng = _alpha_cut(scene, hit)
+        return k + 1, o, t_max, hit, cut, p_hit, p_err, ng
+
+    st = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), o, t_max, hit, cut0, p_hit0, p_err0, ng0))
+    hit, cut = dict(st[3]), st[4]
     # retries exhausted: drop still-cut hits (NOTE: hit t for re-spawned
     # lanes is measured from the last re-spawn origin; no consumer uses it)
-    hit = dict(hit)
     hit["valid"] = hit["valid"] & ~cut
     return hit
 
@@ -155,21 +168,33 @@ def _scene_intersect_p(scene, o, d, t_max):
         return intersect_p_brute(o, d, t_max, scene.data.p0, scene.data.p1,
                                  scene.data.p2)
     # alpha scenes: shadow rays need the hit uv to test the mask
-    # (shape.rs:471-521), so walk closest hits past cut surfaces
-    occluded = jnp.zeros(t_max.shape, bool)
-    searching = jnp.ones(t_max.shape, bool)
-    for k in range(ALPHA_RETRIES + 1):
+    # (shape.rs:471-521), so walk closest hits past cut surfaces. Same
+    # early-exit while_loop structure as _scene_intersect.
+    hit = _scene_intersect_raw(scene, o, d, t_max)
+    cut, p_hit, p_err, ng = _alpha_cut(scene, hit)
+    occluded = hit["valid"] & ~cut
+    searching = cut
+
+    def cond(st):
+        return (st[0] < ALPHA_RETRIES) & jnp.any(st[2])
+
+    def body(st):
+        k, occluded, searching, o, t_max, t_hit, p_hit, p_err, ng = st
+        o = jnp.where(searching[..., None],
+                      ia.spawn_ray(p_hit, p_err, ng, d), o)
+        t_max = jnp.where(searching, jnp.maximum(t_max - t_hit, 0.0), t_max)
         hit = _scene_intersect_raw(scene, o, d, t_max)
         cut, p_hit, p_err, ng = _alpha_cut(scene, hit)
         occluded = occluded | (searching & hit["valid"] & ~cut)
         searching = searching & cut
-        if k < ALPHA_RETRIES:
-            o = jnp.where(searching[..., None],
-                          ia.spawn_ray(p_hit, p_err, ng, d), o)
-            t_max = jnp.where(searching,
-                              jnp.maximum(t_max - hit["t"], 0.0), t_max)
+        return (k + 1, occluded, searching, o, t_max, hit["t"], p_hit,
+                p_err, ng)
+
+    st = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), occluded, searching, o, t_max, hit["t"],
+                     p_hit, p_err, ng))
     # retries exhausted: treat the remaining cut layer as opaque
-    return occluded | searching
+    return st[1] | st[2]
 
 
 @dataclasses.dataclass(frozen=True)

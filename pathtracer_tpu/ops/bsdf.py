@@ -17,6 +17,10 @@ Material table semantics (matching compute_scattering_functions):
   SUBSTRATE — FresnelBlend(kd, ks, TR(ax, ay))          (material/substrate.rs:42-69)
   DISNEY    — DisneyDiffuse(w*c) + MicrofacetReflection(1, DisneyTR,
               DisneyFresnel(c_spec0, metallic, eta))    (material/disney.rs:172-264)
+  ROUGHGLASS— MicrofacetReflection(kd, TR, Dielectric) +
+              MicrofacetTransmission(ks, TR, 1, eta)    (bxdf/microfacet.rs:176-384;
+              the lobe the reference defines but never instantiates —
+              Glass's roughness is TODO, material/mod.rs:216-256)
 """
 
 from __future__ import annotations
@@ -28,7 +32,7 @@ from ..core import math as pm
 from ..core.math import ONE_MINUS_EPSILON
 from ..core.sampling import cosine_sample_hemisphere
 from ..scene.scene import (MAT_DISNEY, MAT_GLASS, MAT_MATTE, MAT_METAL,
-                           MAT_MIRROR, MAT_SUBSTRATE)
+                           MAT_MIRROR, MAT_ROUGHGLASS, MAT_SUBSTRATE)
 
 INV_PI = np.float32(1.0 / np.pi)
 
@@ -374,6 +378,50 @@ def _microfacet_pdf(wo, wi, ax, ay):
     return jnp.where(same_hemisphere(wo, wi), pdf, 0.0)
 
 
+def _mf_trans_f(t, wo, wi, ax, ay, eta_b):
+    """MicrofacetTransmission f (ref microfacet.rs:283-327), radiance mode.
+
+    eta_b: interior IOR (eta_a = 1). NOTE: the reference's own pdf()
+    (:362-383) inverts both the hemisphere test and the eta ratio relative
+    to its f() — dead code upstream (no material builds this lobe,
+    material/mod.rs:216-256), so we implement the consistent PBRT
+    semantics: transmission requires OPPOSITE hemispheres and
+    eta = eta_b/eta_a when wo is on the outside.
+    """
+    cto = abs_cos_theta(wo)
+    cti = abs_cos_theta(wi)
+    eta = jnp.where(cos_theta(wo) > 0.0, eta_b, 1.0 / eta_b)
+    wh = wo + wi * eta[..., None]
+    wh_ok = pm.norm_sq(wh) > 0.0
+    whn = pm.normalize(wh)
+    whn = jnp.where((whn[..., 2] < 0.0)[..., None], -whn, whn)
+    d_o, d_i = pm.dot(wo, whn), pm.dot(wi, whn)
+    fr = fr_dielectric(d_o, jnp.ones_like(eta_b), eta_b)
+    sqrt_denom = d_o + eta * d_i
+    factor = 1.0 / eta  # TransportMode::Radiance
+    val = (1.0 - fr)[..., None] * t * jnp.abs(
+        tr_d(whn, ax, ay) * tr_g(wo, wi, ax, ay) * eta * eta *
+        jnp.abs(d_i) * jnp.abs(d_o) * factor * factor /
+        jnp.maximum(cti * cto * sqrt_denom * sqrt_denom, 1e-20))[..., None]
+    ok = ~same_hemisphere(wo, wi) & (cti > 0.0) & (cto > 0.0) & \
+        ~(d_o * d_i > 0.0) & wh_ok
+    return jnp.where(ok[..., None], val, 0.0)
+
+
+def _mf_trans_pdf(wo, wi, ax, ay, eta_b):
+    """MicrofacetTransmission pdf: tr_pdf(wo, wh) x |dwh/dwi|
+    (ref microfacet.rs:362-383, hemisphere/eta corrected — see _mf_trans_f).
+    """
+    eta = jnp.where(cos_theta(wo) > 0.0, eta_b, 1.0 / eta_b)
+    wh = pm.normalize(wo + wi * eta[..., None])
+    d_o, d_i = pm.dot(wo, wh), pm.dot(wi, wh)
+    sqrt_denom = d_o + eta * d_i
+    dwh_dwi = jnp.abs(eta * eta * d_i /
+                      jnp.maximum(sqrt_denom * sqrt_denom, 1e-20))
+    pdf = tr_pdf(wo, wh, ax, ay) * dwh_dwi
+    return jnp.where(~same_hemisphere(wo, wi) & ~(d_o * d_i > 0.0), pdf, 0.0)
+
+
 def _fresnel_blend_f(rd, rs, wo, wi, ax, ay):
     """Ashikhmin-Shirley substrate f (ref microfacet.rs:408-427)."""
     def pow5(v):
@@ -427,7 +475,7 @@ def eval_f_pdf(mp, wo, wi, reflect_ng, present=None):
     wo_ok = wo[..., 2] != 0.0
     if present is None:
         present = (MAT_MATTE, MAT_MIRROR, MAT_GLASS, MAT_METAL,
-                   MAT_SUBSTRATE, MAT_DISNEY)
+                   MAT_SUBSTRATE, MAT_DISNEY, MAT_ROUGHGLASS)
 
     preds, fs, pdfs = [], [], []
 
@@ -460,6 +508,22 @@ def eval_f_pdf(mp, wo, wi, reflect_ng, present=None):
         pdfs.append(0.5 * (_cosine_pdf(wo, wi)
                            + _microfacet_pdf(wo, wi, ax, ay)))
 
+    if MAT_ROUGHGLASS in present:
+        # glossy dielectric: MicrofacetReflection(kd=Kr, Dielectric) +
+        # MicrofacetTransmission(ks=Kt). The ng hemisphere test routes f
+        # to the matching lobe (bsdf.rs:172-186); pdf averages both
+        # matching components (bsdf.rs:189-222).
+        eta_b = mp["eta"]
+        f_refl = _microfacet_f(
+            mp["kd"], wo, wi, ax, ay,
+            lambda ci: fr_dielectric(ci, jnp.ones_like(eta_b),
+                                     eta_b)[..., None])
+        f_trans = _mf_trans_f(mp["ks"], wo, wi, ax, ay, eta_b)
+        preds.append(mtype == MAT_ROUGHGLASS)
+        fs.append(jnp.where(reflect_ng[..., None], f_refl, f_trans))
+        pdfs.append(0.5 * (_microfacet_pdf(wo, wi, ax, ay)
+                           + _mf_trans_pdf(wo, wi, ax, ay, eta_b)))
+
     zero3 = jnp.zeros(wo.shape[:-1] + (3,), jnp.float32)
     zero1 = jnp.zeros(wo.shape[:-1], jnp.float32)
     if not preds:
@@ -470,9 +534,13 @@ def eval_f_pdf(mp, wo, wi, reflect_ng, present=None):
     pdf = jnp.select(preds, pdfs, zero1) if len(pdfs) > 1 else \
         jnp.where(preds[0], pdfs[0], zero1)
 
-    # all listed lobes are REFLECTION-type: zero f unless the ng-test says
-    # reflection (ref bsdf.rs:172-186)
-    f = jnp.where((reflect_ng & wo_ok)[..., None], f, 0.0)
+    # every lobe above except roughglass-transmission is REFLECTION-type:
+    # zero f unless the ng-test agrees (ref bsdf.rs:172-186); roughglass
+    # already routed f by reflect_ng above
+    allow = reflect_ng
+    if MAT_ROUGHGLASS in present:
+        allow = allow | (mtype == MAT_ROUGHGLASS)
+    f = jnp.where((allow & wo_ok)[..., None], f, 0.0)
     pdf = jnp.where(wo_ok, pdf, 0.0)
     return f, pdf
 
@@ -497,7 +565,7 @@ def sample_f(mp, wo, u, reflect_ng_fn, present=None):
     u0, u1 = u[..., 0], u[..., 1]
     if present is None:
         present = (MAT_MATTE, MAT_MIRROR, MAT_GLASS, MAT_METAL,
-                   MAT_SUBSTRATE, MAT_DISNEY)
+                   MAT_SUBSTRATE, MAT_DISNEY, MAT_ROUGHGLASS)
 
     preds, wis, fs, pdfs = [], [], [], []
     glass_trans = jnp.zeros(u0.shape, bool)
@@ -620,6 +688,43 @@ def sample_f(mp, wo, u, reflect_ng_fn, present=None):
         fs.append(f_dis)
         pdfs.append(pdf_dis)
 
+    rough_trans = jnp.zeros(u0.shape, bool)
+    if MAT_ROUGHGLASS in present:
+        # ---- rough glass: uniform pick of {MicrofacetReflection,
+        # MicrofacetTransmission} + u0 remap (bsdf.rs:83-115), then f/pdf
+        # re-evaluated over both lobes (bsdf.rs:117-147)
+        eta_b = mp["eta"]
+        take_refl = u0 < 0.5
+        u0_g = jnp.where(take_refl,
+                         jnp.minimum(2.0 * u0, ONE_MINUS_EPSILON),
+                         jnp.minimum(2.0 * (u0 - 0.5), ONE_MINUS_EPSILON))
+        ug = jnp.stack([u0_g, u1], axis=-1)
+        wh_g = tr_sample_wh(wo, ug, ax, ay)
+        wh_valid = pm.dot(wo, wh_g) >= 0.0  # microfacet.rs:224-226,346-348
+        wi_gr = reflect_about(wo, wh_g)
+        # refract about wh faceforwarded to wo's side (microfacet.rs:350-356)
+        entering = cos_theta(wo) > 0.0
+        eta_ratio = jnp.where(entering, 1.0 / eta_b, eta_b)  # ei/et
+        wh_ff = jnp.where((pm.dot(wo, wh_g) < 0.0)[..., None], -wh_g, wh_g)
+        wi_gt, refr_ok = refract(wo, wh_ff, eta_ratio)
+        wi_rg = jnp.where(take_refl[..., None], wi_gr, wi_gt)
+        lobe_ok = wh_valid & (wo[..., 2] != 0.0) & \
+            jnp.where(take_refl, same_hemisphere(wo, wi_gr), refr_ok)
+        f_refl = _microfacet_f(
+            mp["kd"], wo, wi_rg, ax, ay,
+            lambda ci: fr_dielectric(ci, jnp.ones_like(eta_b),
+                                     eta_b)[..., None])
+        f_trans = _mf_trans_f(mp["ks"], wo, wi_rg, ax, ay, eta_b)
+        reflect_ng_rg = reflect_ng_fn(wi_rg)
+        f_rg = jnp.where(reflect_ng_rg[..., None], f_refl, f_trans)
+        pdf_rg = 0.5 * (_microfacet_pdf(wo, wi_rg, ax, ay)
+                        + _mf_trans_pdf(wo, wi_rg, ax, ay, eta_b))
+        preds.append(mtype == MAT_ROUGHGLASS)
+        wis.append(wi_rg)
+        fs.append(jnp.where(lobe_ok[..., None], f_rg, 0.0))
+        pdfs.append(jnp.where(lobe_ok, pdf_rg, 0.0))
+        rough_trans = (mtype == MAT_ROUGHGLASS) & ~reflect_ng_rg
+
     zero3 = jnp.zeros(wo.shape[:-1] + (3,), jnp.float32)
     zero1 = jnp.zeros(wo.shape[:-1], jnp.float32)
     default_wi = wis[0] if wis else jnp.broadcast_to(
@@ -636,6 +741,6 @@ def sample_f(mp, wo, u, reflect_ng_fn, present=None):
     else:
         wi, f, pdf = default_wi, zero3, zero1
     specular = (mtype == MAT_MIRROR) | (mtype == MAT_GLASS)
-    transmission = glass_trans
+    transmission = glass_trans | rough_trans
     return dict(wi=wi, f=f, pdf=pdf, specular=specular,
                 transmission=transmission)

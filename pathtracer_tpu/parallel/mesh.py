@@ -32,12 +32,27 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.array(devices), axis_names=("tiles",))
 
 
+def make_mesh_2d(n_tiles: int, n_samples: int, devices=None) -> Mesh:
+    """2D device mesh: row bands along ``tiles`` × sample frames along
+    ``samples``. Both film contributions are additive, so the merge stays
+    a single psum over both axes."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.array(devices[: n_tiles * n_samples])
+    return Mesh(devices.reshape(n_tiles, n_samples),
+                axis_names=("tiles", "samples"))
+
+
 def render_sharded(camera, scene, mesh: Mesh, cfg: PathConfig = PathConfig(),
                    spp: int = 4, filter_kind: str = "gaussian"):
     """Render the full frame data-parallel over `mesh`; returns (H, W, 4).
 
     Each device renders one contiguous row band (padded to equal height)
-    into its own padded film; a single psum over ICI merges them.
+    into its own padded film; a single psum over ICI merges them. A 2D
+    mesh with a ``samples`` axis (make_mesh_2d) additionally shards the
+    sample frames: device (i, k) renders band i's frames
+    [k*spp/S, (k+1)*spp/S) — the additive accumulator makes the merge
+    exact up to f32 summation order.
     """
     if not isinstance(scene, TracedScene):
         scene = TracedScene.create(scene)
@@ -49,7 +64,11 @@ def render_sharded(camera, scene, mesh: Mesh, cfg: PathConfig = PathConfig(),
     ws, hs = x1 - x0, y1 - y0
     domain = sb.SobolDomain.create((x0, y0), (x1, y1), spp)
 
-    n_dev = mesh.devices.size
+    two_d = "samples" in mesh.axis_names
+    n_samp = mesh.shape["samples"] if two_d else 1
+    assert spp % n_samp == 0, "spp must divide over the samples axis"
+    spp_local = spp // n_samp
+    n_dev = mesh.shape["tiles"] if two_d else mesh.devices.size
     band = -(-hs // n_dev)
 
     # per-device pixel grids (padded rows masked by valid)
@@ -80,30 +99,37 @@ def render_sharded(camera, scene, mesh: Mesh, cfg: PathConfig = PathConfig(),
     diff_scale = jnp.float32(1.0 / np.sqrt(spp))
     ft = f1d
 
+    frame_base = np.arange(0, spp, spp_local, dtype=np.int32)
+    s_axis = "samples" if two_d else None
+    psum_axes = ("tiles", "samples") if two_d else ("tiles",)
+
     # check_vma=False: the wavefront while_loop carry starts with replicated
     # values (camera origin broadcast) that become varying after bounce 1;
     # the vma check would reject that even though the math is shard-local.
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(), P("tiles"), P("tiles"), P("tiles"), P("tiles"),
-                  P("tiles")),
+                  P("tiles"), P(s_axis), P(s_axis), P(s_axis), P(s_axis)),
         out_specs=P(), check_vma=False)
-    def shard_render(scene_rep, y0_s, px_s, py_s, b_base_s, scr_s):
+    def shard_render(scene_rep, y0_s, px_s, py_s, b_base_s, scr_s,
+                     f_lo_s, f_hi_s, f_delta_s, f_base_s):
         film_local = film_pad_new(w, h, extra_rows=band)
         valid_s = py_s < y1
         film_local, _rays, _bad = render_band(
-            scene_rep, cfg, spp, (band, ws), valid_s, film_local,
+            scene_rep, cfg, spp_local, (band, ws), valid_s, film_local,
             jnp.int32(x0), y0_s[0], px_s, py_s, b_base_s, scr_s,
-            jnp.asarray(frame_lo), jnp.asarray(frame_hi),
-            jnp.asarray(frame_delta), jnp.int32(0), inv_lo, inv_hi,
+            f_lo_s, f_hi_s, f_delta_s, f_base_s[0], inv_lo, inv_hi,
             r2c, cam_rot, cam_pos, ft, sobol_pack,
             jnp.float32(domain.resolution),
             jnp.float32(domain.p_min[0]), jnp.float32(domain.p_min[1]),
             total_spp_log2=pm.log2_int(spp), filter_radius=radius,
             dxdy_cam=dxdy_cam, diff_scale=diff_scale)
-        return jax.lax.psum(film_local, "tiles")
+        return jax.lax.psum(film_local, psum_axes)
 
     film_pad = shard_render(scene, jnp.asarray(band_y0s), jnp.asarray(px),
                             jnp.asarray(py), jnp.asarray(b_base),
-                            jnp.asarray(scramble))
+                            jnp.asarray(scramble),
+                            jnp.asarray(frame_lo), jnp.asarray(frame_hi),
+                            jnp.asarray(frame_delta),
+                            jnp.asarray(frame_base))
     return film_crop(film_pad, w, h)

@@ -165,9 +165,12 @@ def _material_row(builder: SceneBuilder, mat: dict,
     shape.rs:228-244 — alphaCutoff is ignored there too)."""
     pbr = mat.get("pbrMetallicRoughness", {})
     base = pbr.get("baseColorFactor", [1.0, 1.0, 1.0, 1.0])
-    # from_slice_4(..., true): sRGB-decode the color factor
-    from ..core.math import inverse_gamma_correct
-    color = np.asarray(inverse_gamma_correct(np.asarray(base[:3], np.float32)))
+    # from_slice_4(..., true): sRGB-decode the color factor. Pure numpy —
+    # the jnp version would dispatch a device op per material at import
+    # time (a 100s+ stall when another process holds the TPU).
+    b3 = np.asarray(base[:3], np.float32)
+    color = np.where(b3 <= 0.04045, b3 / 12.92,
+                     np.power((b3 + 0.055) / 1.055, 2.4)).astype(np.float32)
     ior = mat.get("extensions", {}).get("KHR_materials_ior", {}) \
         .get("ior", 1.5)
     transmission = mat.get("extensions", {}) \

@@ -17,7 +17,7 @@ import numpy as np
 from ..core.camera import Camera
 from . import meshgen
 from .scene import (MAT_GLASS, MAT_MATTE, MAT_METAL, MAT_MIRROR,
-                    MAT_SUBSTRATE, SceneBuilder, SceneData)
+                    MAT_ROUGHGLASS, MAT_SUBSTRATE, SceneBuilder, SceneData)
 
 
 def _floats(el) -> dict[str, float]:
@@ -115,6 +115,16 @@ def _material_from_bsdf(builder: SceneBuilder, el) -> int:
         return builder.add_material(
             mtype=MAT_GLASS, kd=np.ones(3, np.float32),
             ks=np.ones(3, np.float32), eta=(ior, ior, ior))
+    if kind == "roughdielectric":
+        # EXTENSION beyond the reference's map (mitsuba.rs:84-181 has no
+        # roughdielectric arm): glossy dielectric via the ROUGHGLASS
+        # material (MicrofacetReflection + MicrofacetTransmission)
+        ior = floats.get("int_ior", 1.5)
+        alpha = floats.get("alpha", 0.1)
+        return builder.add_material(
+            mtype=MAT_ROUGHGLASS, kd=np.ones(3, np.float32),
+            ks=np.ones(3, np.float32), eta=(ior, ior, ior),
+            rough=(alpha, alpha), remap=False)
     if kind in ("plastic", "roughplastic"):
         alpha = floats.get("alpha", 0.001) if kind == "roughplastic" else 0.001
         r0 = schlick_r0_from_eta(floats.get("int_ior", 1.49))

@@ -24,6 +24,12 @@ MAT_GLASS = 2
 MAT_METAL = 3
 MAT_SUBSTRATE = 4
 MAT_DISNEY = 5
+# GLOSSY reflection+transmission dielectric (MicrofacetReflection +
+# MicrofacetTransmission, bxdf/microfacet.rs:176-384). No reference
+# MATERIAL constructs the transmission lobe (Glass is specular-only with a
+# TODO for roughness, material/mod.rs:216-256); this type completes the
+# lobe library and backs the Mitsuba `roughdielectric` BSDF.
+MAT_ROUGHGLASS = 6
 
 # light type codes (ref light.rs Point/Directional/DiffuseArea/InfiniteArea)
 LIGHT_AREA = 0

@@ -96,6 +96,62 @@ def test_disney_energy_bounded():
     assert (r <= 1.05).all() and (r > 0.1).all()
 
 
+def test_roughglass_energy_near_one():
+    """kr = kt = 1 rough dielectric: total scattered energy ~1 (reflection
+    F + transmission (1-F)/eta^2 compensated over a round trip; here we
+    only check conservation bounds — VNDF sampling keeps variance low)."""
+    from pathtracer_tpu.scene.scene import MAT_ROUGHGLASS
+    eta = 1.5
+    r = mc_energy(MAT_ROUGHGLASS, wo_z=0.6, n=32768, kd=(1, 1, 1),
+                  ks=(1, 1, 1), eta=(eta, eta, eta), rough=(0.15, 0.15),
+                  remap=False)
+    # radiance-mode bound: F + (1-F)/eta^2 (<1); microfacet shadowing
+    # loses a bit more
+    assert (r <= 1.02).all() and (r > 0.3).all()
+
+
+def test_roughglass_transmits_and_reflects():
+    from pathtracer_tpu.scene.scene import MAT_ROUGHGLASS
+    n = 8192
+    mp = make_params(MAT_ROUGHGLASS, n, kd=(1, 1, 1), ks=(1, 1, 1),
+                     eta=(1.5, 1.5, 1.5), rough=(0.2, 0.2), remap=False)
+    wo = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (n, 3))
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(rng.random((n, 2), np.float32))
+    bs = _sample_jit(mp, wo, u)
+    wi_z = np.asarray(bs["wi"])[:, 2]
+    pdf = np.asarray(bs["pdf"])
+    trans = np.asarray(bs["transmission"])
+    ok = pdf > 0
+    # both hemispheres populated; transmission flag matches the hemisphere
+    assert (wi_z[ok] > 0).any() and (wi_z[ok] < 0).any()
+    np.testing.assert_array_equal(trans[ok], wi_z[ok] < 0)
+    # not flagged specular (NEE applies)
+    assert not np.asarray(bs["specular"]).any()
+
+
+def test_roughglass_sample_eval_pdf_consistency():
+    from pathtracer_tpu.scene.scene import MAT_ROUGHGLASS
+    n = 512
+    mp = make_params(MAT_ROUGHGLASS, n, kd=(1, 1, 1), ks=(1, 1, 1),
+                     eta=(1.5, 1.5, 1.5), rough=(0.25, 0.25), remap=False)
+    wo = jnp.broadcast_to(jnp.asarray([0.3, 0.2, 0.93], jnp.float32), (n, 3))
+    wo = wo / jnp.linalg.norm(wo, axis=-1, keepdims=True)
+    rng = np.random.default_rng(11)
+    u = jnp.asarray(rng.random((n, 2), np.float32))
+    bs = _sample_jit(mp, wo, u)
+    reflect = jnp.asarray(np.asarray(bs["wi"])[:, 2] *
+                          np.asarray(wo)[:, 2] > 0)
+    f2, pdf2 = bx.eval_f_pdf(mp, wo, bs["wi"], reflect)
+    ok = np.asarray(bs["pdf"]) > 0
+    np.testing.assert_allclose(np.asarray(pdf2)[ok],
+                               np.asarray(bs["pdf"])[ok],
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(f2)[ok],
+                               np.asarray(bs["f"])[ok],
+                               rtol=2e-3, atol=1e-6)
+
+
 def test_sample_eval_pdf_consistency():
     """For sampled directions of non-specular materials, eval_f_pdf must
     reproduce the sampled pdf and f (single-lobe materials)."""
