@@ -61,19 +61,23 @@ class BVHArrays:
     axis: jnp.ndarray  # (M,) split axis of interior nodes
     order: np.ndarray  # (F,) host-side triangle permutation applied
     max_leaf: int
-    nodes: jnp.ndarray = None  # (M, 12) packed rows
+    nodes: jnp.ndarray = None  # (M, 8) packed rows
 
 
 def _pack_nodes(bmin, bmax, off, npr, ax) -> jnp.ndarray:
+    """(M, 8) rows [bmin bmax offset meta], meta = n_prims*4 + axis.
+
+    8-wide instead of the naive 12: per-pop gather traffic is the
+    traversal bottleneck, and all int fields stay exact in f32 (offsets
+    asserted < 2^24 at build; meta <= max_leaf*4+2)."""
     bmin = np.asarray(bmin, np.float32)
     m = bmin.shape[0]
     assert m < (1 << 24), "node offsets must stay exact in f32"
+    meta = np.asarray(npr, np.int64) * 4 + np.asarray(ax, np.int64)
     cols = np.concatenate([
         bmin, np.asarray(bmax, np.float32),
         np.asarray(off, np.float32)[:, None],
-        np.asarray(npr, np.float32)[:, None],
-        np.asarray(ax, np.float32)[:, None],
-        np.zeros((m, 3), np.float32),
+        meta.astype(np.float32)[:, None],
     ], axis=1)
     return jnp.asarray(cols)
 
@@ -225,14 +229,65 @@ def _slab_test(bmin, bmax, o, inv_d, t_best):
     return (tn <= tf) & (tf > 0.0) & (tn < t_best)
 
 
+def _alpha_test_inline(alpha_pack, alpha_texels, pid, b):
+    """Level-0 bilinear alpha-mask test per leaf candidate.
+
+    Mirrors shape.rs:228-244 (closest hit) / :471-521 (shadow): a hit on a
+    masked triangle whose interpolated alpha is exactly 0 is discarded
+    DURING traversal, so one traversal replaces the integrator's re-spawn
+    retries. Returns True where the candidate SURVIVES.
+    """
+    from ..scene.scene import (AP_BASE, AP_FLAG, AP_H, AP_OUOV, AP_SUSV,
+                               AP_UV0, AP_UV1, AP_UV2, AP_W, AP_WRAP)
+    from ..scene.texture import WRAP_CLAMP, WRAP_REPEAT
+    arow = alpha_pack[pid]
+    flag = arow[:, AP_FLAG] > 0.5
+    b0, b1, b2 = b[..., 0:1], b[..., 1:2], b[..., 2:3]
+    uv = b0 * arow[:, AP_UV0] + b1 * arow[:, AP_UV1] + b2 * arow[:, AP_UV2]
+    st = uv * arow[:, AP_SUSV] + arow[:, AP_OUOV]
+    w = arow[:, AP_W]
+    h = arow[:, AP_H]
+    wrap = arow[:, AP_WRAP].astype(jnp.int32)
+    base = jax.lax.bitcast_convert_type(arow[:, AP_BASE], jnp.int32)
+    s = st[..., 0] * w - 0.5
+    t = st[..., 1] * h - 0.5
+    s0f = jnp.floor(s)
+    t0f = jnp.floor(t)
+    ds = s - s0f
+    dt = t - t0f
+    s0 = s0f.astype(jnp.int32)
+    t0 = t0f.astype(jnp.int32)
+    wi = w.astype(jnp.int32)
+    hi = h.astype(jnp.int32)
+
+    def texel(si, ti):
+        s_w = jnp.select([wrap == WRAP_REPEAT, wrap == WRAP_CLAMP],
+                         [jnp.mod(si, wi), jnp.clip(si, 0, wi - 1)],
+                         jnp.clip(si, 0, wi - 1))
+        t_w = jnp.select([wrap == WRAP_REPEAT, wrap == WRAP_CLAMP],
+                         [jnp.mod(ti, hi), jnp.clip(ti, 0, hi - 1)],
+                         jnp.clip(ti, 0, hi - 1))
+        outside = (si < 0) | (si >= wi) | (ti < 0) | (ti >= hi)
+        v = alpha_texels[base + t_w * wi + s_w]
+        black = (wrap != WRAP_REPEAT) & (wrap != WRAP_CLAMP) & outside
+        return jnp.where(black, 0.0, v)
+
+    a = (texel(s0, t0) * (1 - ds) * (1 - dt)
+         + texel(s0, t0 + 1) * (1 - ds) * dt
+         + texel(s0 + 1, t0) * ds * (1 - dt)
+         + texel(s0 + 1, t0 + 1) * ds * dt)
+    return ~(flag & (a == 0.0))
+
+
 def bvh_intersect(bvh: BVHArrays, tri_pack, o, d, t_max,
-                  any_hit: bool = False):
+                  any_hit: bool = False, alpha_pack=None, alpha_texels=None):
     """Lane-parallel BVH traversal (device).
 
     tri_pack: (F, 12) packed [p0 p1 p2 pad] rows (ops/pallas pack_triangles)
     already in BVH order — one row gather per leaf-triangle test instead
-    of three. Returns the same hit record as intersect_brute; for
-    any_hit=True, returns (N,) bool occlusion.
+    of three. alpha_pack/alpha_texels (scene.pack_alpha_tri) enable the
+    inline alpha-mask test. Returns the same hit record as intersect_brute;
+    for any_hit=True, returns (N,) bool occlusion.
     """
     n = o.shape[0]
     f32 = jnp.float32
@@ -269,8 +324,9 @@ def bvh_intersect(bvh: BVHArrays, tri_pack, o, d, t_max,
                           o, inv_d, st["t_best"]) & live
 
         off = nrow[:, 6].astype(jnp.int32)
-        n_p = nrow[:, 7].astype(jnp.int32)
-        axis = nrow[:, 8].astype(jnp.int32)
+        meta = nrow[:, 7].astype(jnp.int32)
+        n_p = meta >> 2
+        axis = meta & 3
         is_leaf = n_p > 0
 
         # --- leaf: watertight test on up to max_leaf triangles
@@ -283,6 +339,9 @@ def bvh_intersect(bvh: BVHArrays, tri_pack, o, d, t_max,
             t_k, b_k, hit_k = watertight_hit_diag(
                 o, d, t_best, trow[:, 0:3], trow[:, 3:6], trow[:, 6:9])
             take = in_leaf & hit_k
+            if alpha_pack is not None:
+                take = take & _alpha_test_inline(alpha_pack, alpha_texels,
+                                                 pid, b_k)
             t_best = jnp.where(take, t_k, t_best)
             tri = jnp.where(take, pid, tri)
             b = jnp.where(take[:, None], b_k, b)

@@ -82,7 +82,11 @@ class PathConfig:
 def _scene_intersect_raw(scene, o, d, t_max):
     if scene.bvh is not None:
         from .accel.bvh import bvh_intersect
-        return bvh_intersect(scene.bvh, scene.tri_pack, o, d, t_max)
+        # alpha masks are tested INLINE in the leaf loop (exact, no retry
+        # cap) — shape.rs:228-244 semantics
+        return bvh_intersect(scene.bvh, scene.tri_pack, o, d, t_max,
+                             alpha_pack=scene.alpha_pack,
+                             alpha_texels=scene.alpha_texels)
     if scene.use_pallas:
         from .ops.pallas.intersect_pl import intersect_pallas
         return intersect_pallas(o, d, t_max, scene.tri_pack)
@@ -125,8 +129,8 @@ def _alpha_cut(scene, hit):
 
 def _scene_intersect(scene, o, d, t_max):
     hit = _scene_intersect_raw(scene, o, d, t_max)
-    if not scene.has_alpha:
-        return hit
+    if not scene.has_alpha or scene.bvh is not None:
+        return hit  # BVH scenes test alpha inline during traversal
     # early-exit retry loop: most waves have no cut lanes after the first
     # pass (and secondary/shadow waves often none at all), so the retry
     # traversal body — compiled ONCE, not unrolled — usually never runs
@@ -156,11 +160,12 @@ def _scene_intersect(scene, o, d, t_max):
 
 
 def _scene_intersect_p(scene, o, d, t_max):
-    if not scene.has_alpha:
+    if not scene.has_alpha or scene.bvh is not None:
         if scene.bvh is not None:
             from .accel.bvh import bvh_intersect
             return bvh_intersect(scene.bvh, scene.tri_pack, o, d, t_max,
-                                 any_hit=True)
+                                 any_hit=True, alpha_pack=scene.alpha_pack,
+                                 alpha_texels=scene.alpha_texels)
         if scene.use_pallas:
             from .ops.pallas.intersect_pl import intersect_pallas
             return intersect_pallas(o, d, t_max, scene.tri_pack,
@@ -227,14 +232,18 @@ class TracedScene:
     light_set: tuple = (0, 1, 2, 3)
     # static: any triangle carries an alpha cutout mask (shape.rs:228-244)
     has_alpha: bool = False
+    # inline-alpha tables for BVH traversal (scene.pack_alpha_tri)
+    alpha_pack: Any = None   # (F, 16)
+    alpha_texels: Any = None  # (total,) level-0 pool column 0
 
     @staticmethod
     def create(scene_data, use_bvh: bool | None = None,
                max_leaf: int = 4,
                use_pallas: bool | None = None) -> "TracedScene":
         import numpy as _np
-        from .scene.scene import (pack_light_attr, pack_mat_attr,
-                                  pack_tri_attr, reorder_triangles)
+        from .scene.scene import (pack_alpha_tri, pack_light_attr,
+                                  pack_mat_attr, pack_tri_attr,
+                                  reorder_triangles)
         f = int(scene_data.p0.shape[0])
         used_mats = _np.unique(_np.asarray(scene_data.material_id))
         mat_set = tuple(sorted(set(
@@ -260,10 +269,14 @@ class TracedScene:
                             _np.asarray(scene_data.p2), max_leaf)
             scene_data = reorder_triangles(scene_data, bvh.order)
         from .ops.pallas.intersect_pl import pack_triangles
+        # inline-alpha tables follow BVH triangle order (built post-reorder)
+        a_pack, a_texels = (pack_alpha_tri(scene_data) if bvh is not None
+                            else (None, None))
         return TracedScene(
             scene_data, bvh, use_pallas, mat_set, has_nm,
             tri_pack=pack_triangles(scene_data.p0, scene_data.p1,
                                     scene_data.p2),
+            alpha_pack=a_pack, alpha_texels=a_texels,
             tri_attr=pack_tri_attr(scene_data),
             light_attr=pack_light_attr(scene_data),
             mat_attr=pack_mat_attr(scene_data),
@@ -280,13 +293,13 @@ class TracedScene:
 jax.tree_util.register_pytree_node(
     TracedScene,
     lambda s: ((s.data, s.bvh, s.tri_attr, s.light_attr, s.mat_attr,
-                s.tri_pack),
+                s.tri_pack, s.alpha_pack, s.alpha_texels),
                (s.use_pallas, s.mat_set, s.has_normal_maps, s.has_tex,
                 s.has_env, s.n_lights, s.light_set, s.has_alpha)),
     lambda aux, kids: TracedScene(
         kids[0], kids[1], aux[0], aux[1], aux[2],
         tri_attr=kids[2], light_attr=kids[3], mat_attr=kids[4],
-        tri_pack=kids[5],
+        tri_pack=kids[5], alpha_pack=kids[6], alpha_texels=kids[7],
         has_tex=aux[3], has_env=aux[4], n_lights=aux[5], light_set=aux[6],
         has_alpha=aux[7]),
 )

@@ -166,6 +166,58 @@ MA_MISC = slice(15, 19)
 MA_REMAP = 19
 MA_WIDTH = 20
 
+# alpha_pack columns (F, 16) — inline alpha-mask test inside the BVH leaf
+# loop (shape.rs:228-244,471-521 test the mask during traversal; the
+# wavefront analogue evaluates it per leaf candidate so ONE traversal
+# replaces the re-spawn retry loop). The pool base offset rides as an i32
+# BIT PATTERN (bitcast, not a float cast) so pools >2^24 texels stay exact.
+AP_UV0 = slice(0, 2)
+AP_UV1 = slice(2, 4)
+AP_UV2 = slice(4, 6)
+AP_SUSV = slice(6, 8)    # UVMap scale (su, sv)
+AP_OUOV = slice(8, 10)   # UVMap offset (ou, ov)
+AP_BASE = 10             # level-0 pool offset (i32 bits)
+AP_W = 11                # level-0 width (exact f32)
+AP_H = 12                # level-0 height
+AP_WRAP = 13             # wrap mode
+AP_FLAG = 14             # 1.0 if this triangle carries an alpha mask
+AP_WIDTH = 16
+
+
+def pack_alpha_tri(sd: "SceneData"):
+    """(F, 16) inline-alpha rows + (total,) level-0 alpha texel column.
+
+    Returns (None, None) when no triangle carries a mask. Mask textures are
+    plain image descriptors (scale 1, no srgb, alpha replicated to rgb by
+    the importer), so the test reduces to a level-0 bilinear of pool
+    column 0 at the UV-mapped st — exactly eval_texture's width-0 path.
+    """
+    alpha = np.asarray(sd.tri_alpha_txd)
+    if not (alpha >= 0).any():
+        return None, None
+    txd = np.maximum(alpha, 0)
+    uvm = np.asarray(sd.txd_uv, np.float32)[txd]  # (F,4) su sv ou ov
+    tex = np.asarray(sd.txd_image)[txd]
+    pool = sd.tex
+    base = np.asarray(pool.level_offset)[tex, 0].astype(np.int32)
+    w0 = np.asarray(pool.level_w)[tex, 0].astype(np.float32)
+    h0 = np.asarray(pool.level_h)[tex, 0].astype(np.float32)
+    wrap = np.asarray(pool.wrap)[tex].astype(np.float32)
+    f = alpha.shape[0]
+    rows = np.zeros((f, AP_WIDTH), np.float32)
+    rows[:, AP_UV0] = np.asarray(sd.uv0, np.float32)
+    rows[:, AP_UV1] = np.asarray(sd.uv1, np.float32)
+    rows[:, AP_UV2] = np.asarray(sd.uv2, np.float32)
+    rows[:, AP_SUSV] = uvm[:, 0:2]
+    rows[:, AP_OUOV] = uvm[:, 2:4]
+    rows[:, AP_BASE] = base.view(np.float32)
+    rows[:, AP_W] = w0
+    rows[:, AP_H] = h0
+    rows[:, AP_WRAP] = wrap
+    rows[:, AP_FLAG] = (alpha >= 0).astype(np.float32)
+    texels = jnp.asarray(np.asarray(pool.data)[:, 0])
+    return jnp.asarray(rows), texels
+
 
 def pack_tri_attr(sd: "SceneData") -> jnp.ndarray:
     """(F, 42) packed per-triangle shading attributes (host, build-time).

@@ -10,8 +10,13 @@ from pathtracer_tpu.integrator import (PathConfig, PathIntegrator,
 from pathtracer_tpu.scene.scene import MAT_MATTE, SceneBuilder
 
 
-def _cutout_scene(alpha_img):
+def _cutout_scene(alpha_img, use_bvh=None):
     """Floor at y=0, masked quad at y=1, point light at y=3."""
+    b = _cutout_builder(alpha_img)
+    return TracedScene.create(b.build(), use_bvh=use_bvh)
+
+
+def _cutout_builder(alpha_img):
     b = SceneBuilder()
     floor = b.add_material(mtype=MAT_MATTE, kd=(0.8, 0.8, 0.8))
     quad_m = b.add_material(mtype=MAT_MATTE, kd=(0.2, 0.8, 0.2))
@@ -25,7 +30,7 @@ def _cutout_scene(alpha_img):
                     np.float32)
     b.add_mesh(qpos, idx, None, uv, quad_m, alpha_txd=a_txd)
     b.add_point_light((0.0, 3.0, 0.0), (50.0, 50.0, 50.0))
-    return TracedScene.create(b.build())
+    return b
 
 
 def test_closest_hit_passes_through_zero_alpha():
@@ -57,6 +62,40 @@ def test_shadow_rays_pass_through_zero_alpha():
     occ = np.asarray(occ)
     assert not occ[0], "zero-alpha texel must not occlude"
     assert occ[1], "opaque texel must occlude"
+
+
+def test_bvh_inline_alpha_matches_retry_path():
+    """The BVH traversal's INLINE alpha test (accel/bvh._alpha_test_inline)
+    must agree with the non-BVH re-spawn retry path for both closest hits
+    and shadow rays, including partial-alpha bilinear edges."""
+    rng = np.random.default_rng(7)
+    alpha = (rng.random((16, 16)) < 0.5).astype(np.float32)
+    ts_brute = _cutout_scene(alpha, use_bvh=False)
+    ts_bvh = _cutout_scene(alpha, use_bvh=True)
+    n = 256
+    o = np.stack([rng.uniform(-3, 3, n), np.full(n, 2.5),
+                  rng.uniform(-3, 3, n)], -1).astype(np.float32)
+    d = np.tile(np.array([[0.0, -1.0, 0.0]], np.float32), (n, 1))
+    t_inf = jnp.full((n,), np.inf, jnp.float32)
+    h1 = _scene_intersect(ts_brute, jnp.asarray(o), jnp.asarray(d), t_inf)
+    h2 = _scene_intersect(ts_bvh, jnp.asarray(o), jnp.asarray(d), t_inf)
+    np.testing.assert_array_equal(np.asarray(h1["valid"]),
+                                  np.asarray(h2["valid"]))
+    # compare by hit material (tri ids are permuted by the BVH build)
+    m1 = np.asarray(ts_brute.data.material_id)[np.asarray(h1["tri"])]
+    m2 = np.asarray(ts_bvh.data.material_id)[np.asarray(h2["tri"])]
+    ok = np.asarray(h1["valid"])
+    np.testing.assert_array_equal(m1[ok], m2[ok])
+    # the retry path measures t from the re-spawn origin (documented wart);
+    # the inline path must report the TRUE t: hit y = o_y - t ∈ {0, 1}
+    y_hit = o[ok, 1] - np.asarray(h2["t"])[ok]
+    y_expect = np.where(m2[ok] == 1, 1.0, 0.0)
+    np.testing.assert_allclose(y_hit, y_expect, atol=1e-4)
+    occ1 = _scene_intersect_p(ts_brute, jnp.asarray(o), jnp.asarray(d),
+                              jnp.full((n,), 2.4, jnp.float32))
+    occ2 = _scene_intersect_p(ts_bvh, jnp.asarray(o), jnp.asarray(d),
+                              jnp.full((n,), 2.4, jnp.float32))
+    np.testing.assert_array_equal(np.asarray(occ1), np.asarray(occ2))
 
 
 def test_cutout_render_shadows():

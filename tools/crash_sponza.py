@@ -87,11 +87,16 @@ if which in ("wave", "all"):
         print(f"trace_wave d3    n={n}: PASS", flush=True)
 
 if which in ("band", "all"):
-    for rows_target in [8, 32, 68]:
+    # the 1080p bench crash wave: 1924-wide bands (131k rays) at d5 with
+    # ray differentials; ramp width and rows separately
+    for res, rows_target in [((640, 480), 68), ((1920, 1080), 17),
+                             ((1920, 1080), 68)]:
+        cam_r, sd_r, _ = load_gltf("data/sponza_proc.glb", resolution=res)
         integ = PathIntegrator(PathConfig(max_depth=5), spp=1,
                                band_rows=rows_target)
-        film = integ.render(cam, scene)
+        film = integ.render(cam_r, scene)
         film.block_until_ready()
-        print(f"render_band 640  rows={rows_target}: PASS", flush=True)
+        print(f"render_band {res[0]}x{res[1]} rows={rows_target} "
+              f"(~{res[0]*rows_target//1000}k rays): PASS", flush=True)
 
 print("ALL STAGES PASS", flush=True)

@@ -64,8 +64,9 @@ def count_iters(bvh, tri_pack, o, d, t_max):
         near = bvh_mod._slab_test(nrow[:, 0:3], nrow[:, 3:6], o, inv_d,
                                   st["t_best"]) & live
         off = nrow[:, 6].astype(jnp.int32)
-        n_p = nrow[:, 7].astype(jnp.int32)
-        axis = nrow[:, 8].astype(jnp.int32)
+        meta = nrow[:, 7].astype(jnp.int32)
+        n_p = meta >> 2
+        axis = meta & 3
         is_leaf = n_p > 0
         t_best = st["t_best"]
         # skip actual tri tests; just clip t_best slightly to keep pruning
