@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(ref render_single_pixel)")
     p.add_argument("--chunk_spp", type=int, default=None,
                    help="samples per progressive chunk")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace of the render to DIR "
+                        "(view with tensorboard/xprof) and log per-bounce "
+                        "wavefront occupancy")
     return p
 
 
@@ -139,8 +143,25 @@ def main(argv=None) -> int:
         return 0
 
     from .headless import run
-    run(camera, traced, integ, args.output, args.server,
-        chunk_spp=args.chunk_spp, checkpoint=args.checkpoint)
+    if args.profile:
+        # TPU analogue of the reference's disable_rayon profiling feature +
+        # trace logging (SURVEY §5): one xprof trace around the render plus
+        # wavefront queue-occupancy counters per bounce depth.
+        import contextlib
+        import jax as _jax
+        with contextlib.ExitStack() as stack:
+            stack.enter_context(_jax.profiler.trace(args.profile))
+            run(camera, traced, integ, args.output, args.server,
+                chunk_spp=args.chunk_spp, checkpoint=args.checkpoint)
+        occ = integ.bounce_occupancy
+        total = max(occ[0], 1.0)
+        log.info("profile trace written to %s", args.profile)
+        for depth, n in enumerate(occ):
+            log.info("bounce %2d: %12.0f live lanes (%.1f%%)", depth, n,
+                     100.0 * n / total)
+    else:
+        run(camera, traced, integ, args.output, args.server,
+            chunk_spp=args.chunk_spp, checkpoint=args.checkpoint)
     return 0
 
 

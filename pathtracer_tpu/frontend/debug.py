@@ -59,7 +59,7 @@ def render_single_pixel(camera, scene, cfg: PathConfig, pixel, spp: int):
                   np.asarray(p_film)[i], np.asarray(o)[i], np.asarray(d)[i])
     draw = lambda dim: sb.sobol_sample_dim(lo_d, hi_d, dim, scr, pack)
     draw2 = lambda dim: sb.sobol_sample_dim2(lo_d, hi_d, dim, scr, pack)
-    radiance, rays, _bad = trace_wave(scene, cfg, draw, draw2, o, d)
+    radiance, rays, _bad, _occ = trace_wave(scene, cfg, draw, draw2, o, d)
     radiance = np.asarray(radiance)
     for i in range(spp):
         log.info("sample %d: L = %s", i, radiance[i])

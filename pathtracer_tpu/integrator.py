@@ -413,13 +413,15 @@ def trace_wave(scene, cfg: PathConfig, draw, draw2, o, d,
     specular = jnp.zeros((n,), bool)
     eta_scale = jnp.ones((n,), f32)
     rays = jnp.float32(0.0)
+    occupancy = []  # live-lane count per bounce (queue-occupancy counter)
     stride = _bounce_stride(cfg, scene.n_lights)
 
     for bounce in range(cfg.max_depth + 1):
         last = bounce == cfg.max_depth
         dim_base = 2 + stride * bounce
 
-        rays = rays + jnp.sum(active.astype(f32))
+        occupancy.append(jnp.sum(active.astype(f32)))
+        rays = rays + occupancy[-1]
         hit = _scene_intersect(scene, o, d, jnp.full((n,), jnp.inf, f32))
         found = hit["valid"] & active
 
@@ -535,7 +537,7 @@ def trace_wave(scene, cfg: PathConfig, draw, draw2, o, d,
     n_bad = jnp.sum(jnp.any(bad, axis=-1).astype(jnp.float32))
     if cfg.sanitize:
         out = jnp.where(jnp.isfinite(out), out, 0.0)
-    return out, rays, n_bad
+    return out, rays, n_bad, jnp.stack(occupancy)
 
 
 @functools.partial(jax.jit,
@@ -563,7 +565,7 @@ def render_band(scene, cfg: PathConfig, spp: int, band_shape: tuple[int, int],
     valid = valid_lanes.reshape(th, tw)
 
     def per_frame(s, carry):
-        film_pad, rays_total, bad_total = carry
+        film_pad, rays_total, bad_total, occ_total = carry
         if cfg.sampler == "sobol":
             idx_lo, idx_hi = sb.sobol_index(
                 b_base, frame_delta[s], frame_lo[s], frame_hi[s],
@@ -609,17 +611,19 @@ def render_band(scene, cfg: PathConfig, spp: int, band_shape: tuple[int, int],
         else:
             o, d = generate_rays(r2c, cam_rot, cam_pos, p_film)
             rxd = ryd = None
-        radiance, rays, n_bad = trace_wave(scene, cfg, draw, draw2, o, d,
-                                           rxd, ryd)
+        radiance, rays, n_bad, occ = trace_wave(scene, cfg, draw, draw2,
+                                                o, d, rxd, ryd)
         tile = splat_tile(radiance.reshape(th, tw, 3),
                           jx.reshape(th, tw), jy.reshape(th, tw),
                           valid, filter_f1d, radius=filter_radius)
         film_pad = film_pad_accumulate(film_pad, tile, band_x0, band_y0,
                                        half=splat_halfwidth(filter_radius))
-        return film_pad, rays_total + rays, bad_total + n_bad
+        return film_pad, rays_total + rays, bad_total + n_bad, occ_total + occ
 
-    return jax.lax.fori_loop(0, spp, per_frame,
-                             (film_pad, jnp.float32(0.0), jnp.float32(0.0)))
+    return jax.lax.fori_loop(
+        0, spp, per_frame,
+        (film_pad, jnp.float32(0.0), jnp.float32(0.0),
+         jnp.zeros((cfg.max_depth + 1,), jnp.float32)))
 
 
 class PathIntegrator:
@@ -638,6 +642,9 @@ class PathIntegrator:
         self.band_rows = band_rows
         self.last_ray_count = 0.0
         self.bad_sample_count = 0.0
+        # per-bounce live-lane totals (wavefront queue occupancy; the TPU
+        # analogue of the reference's per-module trace logging, SURVEY §5)
+        self.bounce_occupancy = np.zeros(0, np.float64)
 
     def render(self, camera: Camera, scene) -> jnp.ndarray:
         """Returns the (H, W, 4) film accumulator."""
@@ -664,6 +671,7 @@ class PathIntegrator:
             scene = TracedScene.create(scene)
         self.last_ray_count = 0.0
         self.bad_sample_count = 0.0
+        self.bounce_occupancy = np.zeros(self.cfg.max_depth + 1, np.float64)
         w, h = camera.resolution
         (x0, y0), (x1, y1) = sample_bounds(w, h, self.filter_radius)
         ws, hs = x1 - x0, y1 - y0
@@ -715,7 +723,7 @@ class PathIntegrator:
                 frame_lo[i], frame_hi[i], frame_delta[i] = \
                     sb.frame_statics(domain, s0 + i)
             for by0, px, py, valid, b_base, scramble in bands:
-                film_pad, rays, n_bad = render_band(
+                film_pad, rays, n_bad, occ = render_band(
                     scene, self.cfg, n_frames, (band, ws), valid, film_pad,
                     jnp.int32(x0), jnp.int32(by0), px, py, b_base, scramble,
                     jnp.asarray(frame_lo), jnp.asarray(frame_hi),
@@ -730,6 +738,7 @@ class PathIntegrator:
                     diff_scale=jnp.float32(1.0 / np.sqrt(self.spp)))
                 self.last_ray_count += float(rays)
                 self.bad_sample_count += float(n_bad)
+                self.bounce_occupancy += np.asarray(occ, np.float64)
             if callback is not None:
                 callback(film_crop(film_pad, w, h), s0 + n_frames)
             if checkpoint:

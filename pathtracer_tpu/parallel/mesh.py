@@ -115,7 +115,7 @@ def render_sharded(camera, scene, mesh: Mesh, cfg: PathConfig = PathConfig(),
                      f_lo_s, f_hi_s, f_delta_s, f_base_s):
         film_local = film_pad_new(w, h, extra_rows=band)
         valid_s = py_s < y1
-        film_local, _rays, _bad = render_band(
+        film_local, _rays, _bad, _occ = render_band(
             scene_rep, cfg, spp_local, (band, ws), valid_s, film_local,
             jnp.int32(x0), y0_s[0], px_s, py_s, b_base_s, scr_s,
             f_lo_s, f_hi_s, f_delta_s, f_base_s[0], inv_lo, inv_hi,

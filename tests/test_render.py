@@ -167,3 +167,18 @@ def test_all_lights_strategy_matches_one_light_mean(cornell):
     # same expectation: per-image means within MC noise
     np.testing.assert_allclose(r_all.mean((0, 1)), r_one.mean((0, 1)),
                                rtol=0.05)
+
+
+def test_bounce_occupancy_counters(cornell):
+    """Wavefront queue-occupancy: bounce 0 counts every lane once per
+    frame; deeper bounces only lose lanes (escape/absorb/RR)."""
+    cam, scene, _ = cornell
+    integ = PathIntegrator(PathConfig(max_depth=4), spp=2)
+    integ.render(cam, scene)
+    occ = integ.bounce_occupancy
+    assert occ.shape == (5,)
+    # every pixel lane (incl. filter-pad border) traced twice at bounce 0
+    assert occ[0] > 0 and occ[0] == occ.max()
+    assert (np.diff(occ) <= 0).all()
+    # the total matches the primary-ray share of last_ray_count
+    assert occ.sum() <= integ.last_ray_count

@@ -53,7 +53,7 @@ def test_wavefront_matches_scalar_reference_li(frame):
     o, d = generate_rays(r2c, rot, pos, p_film)
 
     cfg = PathConfig(max_depth=5)
-    l_wave, _, _ = trace_wave(scene, cfg, draw, draw2, o, d)
+    l_wave, _, _, _ = trace_wave(scene, cfg, draw, draw2, o, d)
     l_wave = np.asarray(l_wave)
 
     o_h, d_h = np.asarray(o), np.asarray(d)

@@ -82,7 +82,7 @@ def run_bands(n_frames):
     film_pad = film_pad_new(w, h, extra_rows=band)
     tot = 0.0
     for by0, px, py, valid, b_base, scr in bands:
-        film_pad, r, _ = render_band(
+        film_pad, r, _, _ = render_band(
             ts, integ.cfg, n_frames, (band, ws), valid, film_pad,
             jnp.int32(x0), jnp.int32(by0), px, py, b_base, scr,
             jnp.asarray(frame_lo), jnp.asarray(frame_hi),
