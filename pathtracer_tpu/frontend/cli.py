@@ -117,7 +117,8 @@ def main(argv=None) -> int:
     log.debug("scene settings: %s", settings)
 
     from ..integrator import PathConfig, PathIntegrator, TracedScene
-    cfg = PathConfig(max_depth=args.max_depth)
+    cfg = PathConfig(max_depth=args.max_depth,
+                     count_occupancy=bool(args.profile))
     traced = TracedScene.create(scene)
 
     if args.single_pixel:

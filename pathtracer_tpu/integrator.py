@@ -77,6 +77,11 @@ class PathConfig:
     # sample per light; the reference's per-light sample arrays become
     # per-light static Sobol dimension slots)
     light_strategy: str = "one"
+    # per-bounce live-lane counters (PathIntegrator.bounce_occupancy; the
+    # CLI --profile flag enables them). Off by default: threading the
+    # (max_depth+1,) vector through the spp fori_loop carry costs ~25%
+    # on the cornell bench (it breaks XLA's cross-bounce fusion).
+    count_occupancy: bool = False
 
 
 def _scene_intersect_raw(scene, o, d, t_max):
@@ -420,8 +425,10 @@ def trace_wave(scene, cfg: PathConfig, draw, draw2, o, d,
         last = bounce == cfg.max_depth
         dim_base = 2 + stride * bounce
 
-        occupancy.append(jnp.sum(active.astype(f32)))
-        rays = rays + occupancy[-1]
+        n_live = jnp.sum(active.astype(f32))
+        if cfg.count_occupancy:
+            occupancy.append(n_live)
+        rays = rays + n_live
         hit = _scene_intersect(scene, o, d, jnp.full((n,), jnp.inf, f32))
         found = hit["valid"] & active
 
@@ -537,7 +544,9 @@ def trace_wave(scene, cfg: PathConfig, draw, draw2, o, d,
     n_bad = jnp.sum(jnp.any(bad, axis=-1).astype(jnp.float32))
     if cfg.sanitize:
         out = jnp.where(jnp.isfinite(out), out, 0.0)
-    return out, rays, n_bad, jnp.stack(occupancy)
+    occ = (jnp.stack(occupancy) if cfg.count_occupancy
+           else jnp.zeros((cfg.max_depth + 1,), f32))
+    return out, rays, n_bad, occ
 
 
 @functools.partial(jax.jit,
@@ -565,7 +574,10 @@ def render_band(scene, cfg: PathConfig, spp: int, band_shape: tuple[int, int],
     valid = valid_lanes.reshape(th, tw)
 
     def per_frame(s, carry):
-        film_pad, rays_total, bad_total, occ_total = carry
+        if cfg.count_occupancy:
+            film_pad, rays_total, bad_total, occ_total = carry
+        else:
+            film_pad, rays_total, bad_total = carry
         if cfg.sampler == "sobol":
             idx_lo, idx_hi = sb.sobol_index(
                 b_base, frame_delta[s], frame_lo[s], frame_hi[s],
@@ -618,12 +630,28 @@ def render_band(scene, cfg: PathConfig, spp: int, band_shape: tuple[int, int],
                           valid, filter_f1d, radius=filter_radius)
         film_pad = film_pad_accumulate(film_pad, tile, band_x0, band_y0,
                                        half=splat_halfwidth(filter_radius))
-        return film_pad, rays_total + rays, bad_total + n_bad, occ_total + occ
+        if cfg.count_occupancy:
+            return (film_pad, rays_total + rays, bad_total + n_bad,
+                    occ_total + occ)
+        return film_pad, rays_total + rays, bad_total + n_bad
 
-    return jax.lax.fori_loop(
-        0, spp, per_frame,
-        (film_pad, jnp.float32(0.0), jnp.float32(0.0),
-         jnp.zeros((cfg.max_depth + 1,), jnp.float32)))
+    zero = jnp.float32(0.0)
+    if cfg.count_occupancy:
+        out = jax.lax.fori_loop(
+            0, spp, per_frame,
+            (film_pad, zero, zero, jnp.zeros((cfg.max_depth + 1,),
+                                             jnp.float32)))
+        return out
+    film_pad, rays_t, bad_t = jax.lax.fori_loop(0, spp, per_frame,
+                                                (film_pad, zero, zero))
+    return film_pad, rays_t, bad_t, jnp.zeros((cfg.max_depth + 1,),
+                                              jnp.float32)
+
+
+# lane-bounce budget for fused BVH bounce programs on the axon TPU backend
+# (see render_progressive band sizing); 6 segments x 65536 rays is the
+# largest configuration proven stable on hardware.
+_WAVE_DEPTH_BUDGET = 6 * 65536
 
 
 class PathIntegrator:
@@ -677,14 +705,29 @@ class PathIntegrator:
         ws, hs = x1 - x0, y1 - y0
         domain = sb.SobolDomain.create((x0, y0), (x1, y1), self.spp)
 
-        # ~131k-ray waves: large enough to amortize per-pass overheads,
-        # validated on hardware for BVH scenes up to 165k rays (the round-1
-        # >20k-ray worker crash disappeared with the unrolled bounce loop +
-        # packed-node traversal; tools/crash_repro.py re-checks the matrix)
-        band = self.band_rows or max(1, (1 << 17) // ws)
+        # ~131k-ray waves amortize per-pass overheads. For BVH scenes the
+        # axon TPU worker faults when the unrolled bounce program exceeds
+        # roughly (max_depth+1) x rays ~ 700k lane-bounces (bisect matrix,
+        # tools/crash_matrix.py: depth-5 x 131k rays CRASHES bare
+        # trace_wave, depth-4 x 131k and depth-5 x 65k PASS full renders),
+        # so waves are capped at a tested-safe 393k/(depth+1) budget there.
+        if self.band_rows:
+            band = self.band_rows
+        else:
+            wave_cap = 1 << 17
+            if getattr(scene, "bvh", None) is not None:
+                wave_cap = min(wave_cap,
+                               _WAVE_DEPTH_BUDGET // (self.cfg.max_depth + 1))
+            band = max(1, wave_cap // ws)
         band = min(band, hs)
         n_bands = -(-hs // band)
         chunk = pm.round_up_pow2(min(chunk_spp or self.spp, self.spp))
+        if getattr(scene, "bvh", None) is not None:
+            # the lane-bounce budget is per LAUNCH (the spp fori_loop rides
+            # inside render_band): bench spp=4 at a tested-safe 65k-ray
+            # band still faulted, 1 frame/launch at the same band passes.
+            per_frame = (self.cfg.max_depth + 1) * band * ws
+            chunk = max(1, min(chunk, _WAVE_DEPTH_BUDGET // max(per_frame, 1)))
 
         inv_lo, inv_hi = sb.vdc_inv_rows(domain)
         sobol_pack = sb.sm32_device()

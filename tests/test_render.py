@@ -173,7 +173,8 @@ def test_bounce_occupancy_counters(cornell):
     """Wavefront queue-occupancy: bounce 0 counts every lane once per
     frame; deeper bounces only lose lanes (escape/absorb/RR)."""
     cam, scene, _ = cornell
-    integ = PathIntegrator(PathConfig(max_depth=4), spp=2)
+    integ = PathIntegrator(PathConfig(max_depth=4, count_occupancy=True),
+                           spp=2)
     integ.render(cam, scene)
     occ = integ.bounce_occupancy
     assert occ.shape == (5,)
