@@ -211,6 +211,21 @@ def build_bvh(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
     )
 
 
+def offset_leaf_tris(bvh: BVHArrays, base: int) -> BVHArrays:
+    """Shift LEAF triangle offsets by ``base`` (interior child offsets
+    untouched). Used when a subset tree's triangles live at a nonzero
+    position in the combined reordered scene arrays (alpha-split)."""
+    off = np.asarray(bvh.offset)
+    npr = np.asarray(bvh.n_prims)
+    off2 = np.where(npr > 0, off + base, off).astype(np.int32)
+    nodes = np.asarray(bvh.nodes).copy()
+    nodes[:, 6] = off2.astype(np.float32)
+    return BVHArrays(
+        bounds_min=bvh.bounds_min, bounds_max=bvh.bounds_max,
+        offset=jnp.asarray(off2), n_prims=bvh.n_prims, axis=bvh.axis,
+        order=bvh.order, max_leaf=bvh.max_leaf, nodes=jnp.asarray(nodes))
+
+
 def _slab_test(bmin, bmax, o, inv_d, t_best):
     """Robust AABB slab test with gamma(3) widening
     (ref bounds.rs:198-232 intersect_p_precomp)."""

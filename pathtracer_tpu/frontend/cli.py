@@ -57,6 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(ref render_single_pixel)")
     p.add_argument("--chunk_spp", type=int, default=None,
                    help="samples per progressive chunk")
+    p.add_argument("--mis", default="onesample",
+                   choices=("ref", "onesample"),
+                   help="MIS estimator: 'ref' re-intersects the BSDF "
+                        "branch like the reference; 'onesample' (default) "
+                        "reuses the continuation ray (pbrt-v4 form, one "
+                        "traversal fewer per bounce)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace of the render to DIR "
                         "(view with tensorboard/xprof) and log per-bounce "
@@ -117,7 +123,7 @@ def main(argv=None) -> int:
     log.debug("scene settings: %s", settings)
 
     from ..integrator import PathConfig, PathIntegrator, TracedScene
-    cfg = PathConfig(max_depth=args.max_depth,
+    cfg = PathConfig(max_depth=args.max_depth, mis_mode=args.mis,
                      count_occupancy=bool(args.profile))
     traced = TracedScene.create(scene)
 

@@ -82,21 +82,64 @@ class PathConfig:
     # (max_depth+1,) vector through the spp fori_loop carry costs ~25%
     # on the cornell bench (it breaks XLA's cross-bounce fusion).
     count_occupancy: bool = False
+    # MIS estimator: "ref" = faithful to the reference (estimate_direct's
+    # BSDF branch re-intersects the scene, integrator.rs:82-136; Le only
+    # on camera/specular bounces, :418-427). "onesample" = pbrt-v4
+    # PathIntegrator form: the continuation ray doubles as the MIS BSDF
+    # branch (Le at EVERY vertex, weighted by the previous vertex's
+    # light-sampling density) — one closest-hit traversal fewer per
+    # bounce, same expectation. The DEFAULT is the reference-faithful
+    # estimator; bench/production configs opt into "onesample".
+    mis_mode: str = "ref"
 
 
 def _scene_intersect_raw(scene, o, d, t_max):
     if scene.bvh is not None:
         from .accel.bvh import bvh_intersect
-        # alpha masks are tested INLINE in the leaf loop (exact, no retry
-        # cap) — shape.rs:228-244 semantics
-        return bvh_intersect(scene.bvh, scene.tri_pack, o, d, t_max,
-                             alpha_pack=scene.alpha_pack,
-                             alpha_texels=scene.alpha_texels)
+        # Alpha masks are tested INLINE (exact, no retry cap) —
+        # shape.rs:228-244 semantics. Masked triangles (typically ~1% of a
+        # scene, foliage-style overlapping quads that defeat BVH pruning)
+        # are SPLIT OUT of the main tree and intersected DENSELY: the
+        # (N x A) watertight pass broadcasts the triangles over the VPU
+        # with zero per-lane gathers (measured ~20x over a dedicated
+        # alpha BVH on the Sponza ivy). Order: alpha set first — its hit
+        # t prunes the expensive main traversal.
+        if not scene.split_alpha:
+            return bvh_intersect(scene.bvh, scene.tri_pack, o, d, t_max,
+                                 alpha_pack=scene.alpha_pack,
+                                 alpha_texels=scene.alpha_texels)
+        hit_a = _alpha_set_intersect(scene, o, d, t_max)
+        t2 = jnp.where(hit_a["valid"], hit_a["t"], t_max)
+        hit = bvh_intersect(scene.bvh, scene.tri_pack, o, d, t2)
+        # hit.valid implies t2-pruned, i.e. closer than the alpha hit
+        c = hit["valid"]
+        return dict(valid=c | hit_a["valid"],
+                    t=jnp.where(c, hit["t"], hit_a["t"]),
+                    tri=jnp.where(c, hit["tri"], hit_a["tri"]),
+                    b=jnp.where(c[:, None], hit["b"], hit_a["b"]))
     if scene.use_pallas:
         from .ops.pallas.intersect_pl import intersect_pallas
         return intersect_pallas(o, d, t_max, scene.tri_pack)
     return intersect_brute(o, d, t_max, scene.data.p0, scene.data.p1,
                            scene.data.p2)
+
+
+def _alpha_set_intersect(scene, o, d, t_max, any_hit=False):
+    """Closest (or any) hit against the split-out alpha-masked subset,
+    dense when small (intersect_alpha_dense) or via the dedicated tree."""
+    from .accel.bvh import _alpha_test_inline, bvh_intersect
+    if scene.bvh_alpha is not None:
+        return bvh_intersect(scene.bvh_alpha, scene.tri_pack, o, d, t_max,
+                             any_hit=any_hit, alpha_pack=scene.alpha_pack,
+                             alpha_texels=scene.alpha_texels)
+    from .ops.intersect import intersect_alpha_dense
+    n_op = scene.n_opaque
+    sd = scene.data
+    return intersect_alpha_dense(
+        o, d, t_max, sd.p0[n_op:], sd.p1[n_op:], sd.p2[n_op:], n_op,
+        lambda pid, b: _alpha_test_inline(scene.alpha_pack,
+                                          scene.alpha_texels, pid, b),
+        any_hit=any_hit)
 
 
 # Bounded re-spawn iterations for alpha cutouts. The reference's recursive
@@ -168,9 +211,17 @@ def _scene_intersect_p(scene, o, d, t_max):
     if not scene.has_alpha or scene.bvh is not None:
         if scene.bvh is not None:
             from .accel.bvh import bvh_intersect
-            return bvh_intersect(scene.bvh, scene.tri_pack, o, d, t_max,
-                                 any_hit=True, alpha_pack=scene.alpha_pack,
-                                 alpha_texels=scene.alpha_texels)
+            split = scene.split_alpha
+            occ = bvh_intersect(
+                scene.bvh, scene.tri_pack, o, d, t_max, any_hit=True,
+                alpha_pack=None if split else scene.alpha_pack,
+                alpha_texels=None if split else scene.alpha_texels)
+            if split:
+                # lanes already occluded skip the alpha pass (t_max = 0)
+                t2 = jnp.where(occ, 0.0, t_max)
+                occ = occ | _alpha_set_intersect(scene, o, d, t2,
+                                                 any_hit=True)
+            return occ
         if scene.use_pallas:
             from .ops.pallas.intersect_pl import intersect_pallas
             return intersect_pallas(o, d, t_max, scene.tri_pack,
@@ -240,6 +291,12 @@ class TracedScene:
     # inline-alpha tables for BVH traversal (scene.pack_alpha_tri)
     alpha_pack: Any = None   # (F, 16)
     alpha_texels: Any = None  # (total,) level-0 pool column 0
+    # alpha-masked triangles are SPLIT OUT of the main tree (they sit
+    # last in the reordered arrays, [n_opaque:F)): intersected densely
+    # when few, else via a dedicated tree (bvh_alpha)
+    split_alpha: bool = False
+    n_opaque: int = -1  # static: first alpha tri index when split
+    bvh_alpha: "BVHArrays | None" = None  # noqa: F821
 
     @staticmethod
     def create(scene_data, use_bvh: bool | None = None,
@@ -266,19 +323,46 @@ class TracedScene:
             use_bvh = f > 128
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
-        bvh = None
+        bvh = bvh_alpha = None
+        split_alpha = False
+        n_opaque = -1
         if use_bvh:
-            from .accel.bvh import build_bvh
-            bvh = build_bvh(_np.asarray(scene_data.p0),
-                            _np.asarray(scene_data.p1),
-                            _np.asarray(scene_data.p2), max_leaf)
-            scene_data = reorder_triangles(scene_data, bvh.order)
+            from .accel.bvh import build_bvh, offset_leaf_tris
+            p0 = _np.asarray(scene_data.p0)
+            p1 = _np.asarray(scene_data.p1)
+            p2 = _np.asarray(scene_data.p2)
+            amask = _np.asarray(scene_data.tri_alpha_txd) >= 0
+            n_alpha = int(amask.sum())
+            if 0 < n_alpha < f:
+                # alpha-split: masked tris (typically ~1%, foliage-style
+                # overlapping quads) leave the main tree. Small sets are
+                # intersected DENSELY (no tree at all — BVH pruning fails
+                # on overlapping cutouts); larger sets get their own tree.
+                split_alpha = True
+                op_idx = _np.nonzero(~amask)[0]
+                al_idx = _np.nonzero(amask)[0]
+                n_opaque = len(op_idx)
+                bvh = build_bvh(p0[op_idx], p1[op_idx], p2[op_idx],
+                                max_leaf)
+                if n_alpha <= 4096:
+                    order = _np.concatenate([op_idx[bvh.order], al_idx])
+                else:
+                    bvh_alpha = build_bvh(p0[al_idx], p1[al_idx],
+                                          p2[al_idx], max_leaf)
+                    order = _np.concatenate([op_idx[bvh.order],
+                                             al_idx[bvh_alpha.order]])
+                    bvh_alpha = offset_leaf_tris(bvh_alpha, n_opaque)
+                scene_data = reorder_triangles(scene_data, order)
+            else:
+                bvh = build_bvh(p0, p1, p2, max_leaf)
+                scene_data = reorder_triangles(scene_data, bvh.order)
         from .ops.pallas.intersect_pl import pack_triangles
         # inline-alpha tables follow BVH triangle order (built post-reorder)
         a_pack, a_texels = (pack_alpha_tri(scene_data) if bvh is not None
                             else (None, None))
         return TracedScene(
             scene_data, bvh, use_pallas, mat_set, has_nm,
+            split_alpha=split_alpha, n_opaque=n_opaque, bvh_alpha=bvh_alpha,
             tri_pack=pack_triangles(scene_data.p0, scene_data.p1,
                                     scene_data.p2),
             alpha_pack=a_pack, alpha_texels=a_texels,
@@ -298,15 +382,17 @@ class TracedScene:
 jax.tree_util.register_pytree_node(
     TracedScene,
     lambda s: ((s.data, s.bvh, s.tri_attr, s.light_attr, s.mat_attr,
-                s.tri_pack, s.alpha_pack, s.alpha_texels),
+                s.tri_pack, s.alpha_pack, s.alpha_texels, s.bvh_alpha),
                (s.use_pallas, s.mat_set, s.has_normal_maps, s.has_tex,
-                s.has_env, s.n_lights, s.light_set, s.has_alpha)),
+                s.has_env, s.n_lights, s.light_set, s.has_alpha,
+                s.split_alpha, s.n_opaque)),
     lambda aux, kids: TracedScene(
         kids[0], kids[1], aux[0], aux[1], aux[2],
         tri_attr=kids[2], light_attr=kids[3], mat_attr=kids[4],
         tri_pack=kids[5], alpha_pack=kids[6], alpha_texels=kids[7],
+        bvh_alpha=kids[8],
         has_tex=aux[3], has_env=aux[4], n_lights=aux[5], light_set=aux[6],
-        has_alpha=aux[7]),
+        has_alpha=aux[7], split_alpha=aux[8], n_opaque=aux[9]),
 )
 
 
@@ -321,11 +407,16 @@ def _to_world(it, w):
 
 
 def estimate_direct(scene, cfg, it, mp, u_scatt, u_light, light_idx,
-                    wo_world):
+                    wo_world, bsdf_branch=True, pick_prob=1.0):
     """Both-strategy MIS direct lighting for one chosen light per ray.
 
     Ref integrator.rs:23-139. Returns (N, 3) radiance estimate (pre
-    num_lights scaling).
+    num_lights scaling). With ``bsdf_branch=False`` (the "onesample" MIS
+    mode) only the light-sample branch runs — the BSDF strategy is
+    covered by the MIS-weighted emission picked up when the CONTINUATION
+    ray hits the light (pbrt-v4 PathIntegrator::SampleLd form) — and
+    ``pick_prob`` (the light-selection pmf) folds into the effective
+    light pdf instead of an outer num_lights scale.
     """
     from .ops.gather import take_rows
     sd = scene.data
@@ -336,6 +427,7 @@ def estimate_direct(scene, cfg, it, mp, u_scatt, u_light, light_idx,
     ls = lt.sample_li(sd, light_rows, it["p"], it["p_error"], it["ng"],
                       u_light, light_set=scene.light_set)
     wi = ls["wi"]
+    pdf_eff = ls["pdf"] * pick_prob
 
     # --- light-sample branch (integrator.rs:44-80)
     wo_l = _to_local(it, wo_world)
@@ -353,9 +445,11 @@ def estimate_direct(scene, cfg, it, mp, u_scatt, u_light, light_idx,
     occluded = _scene_intersect_p(scene, so, sdir, st)
     li1 = jnp.where((branch1 & ~occluded)[..., None], ls["li"], 0.0)
     w1 = jnp.where(ls["is_delta"], 1.0,
-                   pm.power_heuristic(1.0, ls["pdf"], 1.0, scatt_pdf))
-    contrib1 = f * li1 * w1[..., None] / jnp.maximum(ls["pdf"], 1e-20)[..., None]
+                   pm.power_heuristic(1.0, pdf_eff, 1.0, scatt_pdf))
+    contrib1 = f * li1 * w1[..., None] / jnp.maximum(pdf_eff, 1e-20)[..., None]
     ld = ld + jnp.where(branch1[..., None], contrib1, 0.0)
+    if not bsdf_branch:
+        return ld
 
     # --- BSDF-sample branch (integrator.rs:82-136), non-delta lights only
     bs = bx.sample_f(
@@ -407,16 +501,29 @@ def trace_wave(scene, cfg: PathConfig, draw, draw2, o, d,
     sd = scene.data
     n = o.shape[0]
     f32 = jnp.float32
-    from .scene.scene import MAT_GLASS, MAT_MIRROR
+    from .scene.scene import LIGHT_AREA, MAT_GLASS, MAT_MIRROR
     any_nonspec = any(m not in (MAT_MIRROR, MAT_GLASS)
                       for m in scene.mat_set)
     do_nee = any_nonspec and scene.n_lights > 0
+    # "onesample" MIS (pbrt-v4 PathIntegrator): the BSDF strategy of the
+    # direct-lighting MIS is realized by MIS-weighting the emission the
+    # CONTINUATION ray hits, instead of a dedicated re-intersection —
+    # one traversal fewer per bounce than the reference's estimate_direct
+    # (integrator.rs:82-136). Falls back to "ref" when NEE is off.
+    one_sample = cfg.mis_mode == "onesample" and do_nee
+    pick_prob = (1.0 / max(scene.n_lights, 1)
+                 if cfg.light_strategy == "one" else 1.0)
 
     l = jnp.zeros((n, 3), f32)
     beta = jnp.ones((n, 3), f32)
     active = jnp.ones((n,), bool)
-    specular = jnp.zeros((n,), bool)
+    # onesample: "specular" doubles as bounce-0 full-weight Le
+    specular = jnp.full((n,), one_sample, bool)
     eta_scale = jnp.ones((n,), f32)
+    prev_pdf = jnp.zeros((n,), f32)  # BSDF pdf of the ray's direction
+    prev_p = o
+    prev_perr = jnp.zeros((n, 3), f32)
+    prev_ng = jnp.zeros((n, 3), f32)
     rays = jnp.float32(0.0)
     occupancy = []  # live-lane count per bounce (queue-occupancy counter)
     stride = _bounce_stride(cfg, scene.n_lights)
@@ -432,11 +539,13 @@ def trace_wave(scene, cfg: PathConfig, draw, draw2, o, d,
         hit = _scene_intersect(scene, o, d, jnp.full((n,), jnp.inf, f32))
         found = hit["valid"] & active
 
-        # emitted radiance on camera/specular bounces (:418-427)
+        # emitted radiance. "ref" mode: camera/specular bounces only
+        # (:418-427); "onesample": every vertex, MIS-weighted against the
+        # light-sampling density of the previous vertex (pbrt-v4 form).
         le_mask = active if bounce == 0 else (active & specular)
         if last:
             # only Le survives the final bounce — skip the frame build
-            le_hit, _ = ia.hit_emission(scene.tri_attr, hit, -d)
+            le_hit, hl = ia.hit_emission(scene.tri_attr, hit, -d)
         else:
             it = ia.make_interaction(sd, o, d, hit, scene.tri_attr)
             # camera-ray differentials -> duvdx/duvdy for mip filter widths
@@ -447,11 +556,39 @@ def trace_wave(scene, cfg: PathConfig, draw, draw2, o, d,
             if scene.has_normal_maps:
                 it = ia.apply_normal_mapping(sd, it, duv=duv)
             le_hit = ia.emitted_radiance(it, -d)
-        l = l + jnp.where((le_mask & found)[..., None], beta * le_hit, 0.0)
+            hl = it["area_light"]
+        if one_sample:
+            from .ops.gather import take_rows
+            if bounce == 0 or LIGHT_AREA not in scene.light_set:
+                w_area = jnp.ones((n,), f32)
+            else:
+                lrows_h = take_rows(scene.light_attr,
+                                    jnp.maximum(hl, 0))
+                lpdf = lt.pdf_li(sd, lrows_h, prev_p, prev_perr, prev_ng,
+                                 d, light_set=(LIGHT_AREA,)) * pick_prob
+                w_area = jnp.where(specular, 1.0,
+                                   pm.power_heuristic(1.0, prev_pdf,
+                                                      1.0, lpdf))
+            l = l + jnp.where((active & found)[..., None],
+                              beta * le_hit * w_area[..., None], 0.0)
+        else:
+            l = l + jnp.where((le_mask & found)[..., None],
+                              beta * le_hit, 0.0)
         if scene.has_env:
             le_env = lt.env_le(sd, d)
-            l = l + jnp.where((le_mask & ~hit["valid"])[..., None],
-                              beta * le_env, 0.0)
+            if one_sample:
+                if bounce == 0:
+                    w_env = jnp.ones((n,), f32)
+                else:
+                    epdf = lt.env_pdf_li(sd, d) * pick_prob
+                    w_env = jnp.where(specular, 1.0,
+                                      pm.power_heuristic(1.0, prev_pdf,
+                                                         1.0, epdf))
+                l = l + jnp.where((active & ~hit["valid"])[..., None],
+                                  beta * le_env * w_env[..., None], 0.0)
+            else:
+                l = l + jnp.where((le_mask & ~hit["valid"])[..., None],
+                                  beta * le_env, 0.0)
         if last:
             break
 
@@ -465,6 +602,7 @@ def trace_wave(scene, cfg: PathConfig, draw, draw2, o, d,
         # statically skipped for specular-only or lightless scenes
         if do_nee:
             nonspec = bx.has_nonspecular(mp["mtype"]) & cont
+            shadow_rays = 1.0 if one_sample else 2.0
             if cfg.light_strategy == "all":
                 # uniform_sample_all_lights (integrator.rs:141-189): one
                 # sample per light, own dim slots, summed (no 1/L scaling)
@@ -472,16 +610,18 @@ def trace_wave(scene, cfg: PathConfig, draw, draw2, o, d,
                 for li_i in range(scene.n_lights):
                     db = dim_base + DIMS_PER_BOUNCE + 4 * li_i
                     u_light = draw2(db)
-                    u_scatt = draw2(db + 2)
+                    u_scatt = None if one_sample else draw2(db + 2)
                     idx_i = jnp.full((n,), li_i, jnp.int32)
                     ld = ld + estimate_direct(scene, cfg, it, mp, u_scatt,
-                                              u_light, idx_i, wo)
+                                              u_light, idx_i, wo,
+                                              bsdf_branch=not one_sample)
                 l = l + jnp.where(nonspec[..., None], beta * ld, 0.0)
-                rays = rays + 2.0 * scene.n_lights * \
+                rays = rays + shadow_rays * scene.n_lights * \
                     jnp.sum(nonspec.astype(f32))
             else:
                 u_light = draw2(dim_base + DIM_U_LIGHT)
-                u_scatt = draw2(dim_base + DIM_U_SCATTER)
+                u_scatt = None if one_sample else \
+                    draw2(dim_base + DIM_U_SCATTER)
                 n_l = np.float32(scene.n_lights)
                 if scene.n_lights > 1:
                     u_pick = draw(dim_base + DIM_LIGHT_PICK)
@@ -490,9 +630,13 @@ def trace_wave(scene, cfg: PathConfig, draw, draw2, o, d,
                 else:
                     light_idx = jnp.zeros((n,), jnp.int32)
                 ld = estimate_direct(scene, cfg, it, mp, u_scatt, u_light,
-                                     light_idx, wo)
-                l = l + jnp.where(nonspec[..., None], beta * ld * n_l, 0.0)
-                rays = rays + 2.0 * jnp.sum(nonspec.astype(f32))
+                                     light_idx, wo,
+                                     bsdf_branch=not one_sample,
+                                     pick_prob=pick_prob if one_sample
+                                     else 1.0)
+                scale = 1.0 if one_sample else n_l
+                l = l + jnp.where(nonspec[..., None], beta * ld * scale, 0.0)
+                rays = rays + shadow_rays * jnp.sum(nonspec.astype(f32))
 
         # --- BSDF sampling for the next bounce (:449-468)
         u_bsdf = draw2(dim_base + DIM_BSDF)
@@ -510,6 +654,12 @@ def trace_wave(scene, cfg: PathConfig, draw, draw2, o, d,
         cont2 = cont & ~dead
         beta = jnp.where(cont2[..., None], new_beta, beta)
         specular = jnp.where(cont2, bs["specular"], specular)
+        if one_sample:
+            # next vertex's MIS weight needs this vertex's sampling state
+            prev_pdf = jnp.where(cont2, bs["pdf"], prev_pdf)
+            prev_p = jnp.where(cont2[..., None], it["p"], prev_p)
+            prev_perr = jnp.where(cont2[..., None], it["p_error"], prev_perr)
+            prev_ng = jnp.where(cont2[..., None], it["ng"], prev_ng)
 
         # eta_scale for RR through glass (:471-480); only glass scenes
         if MAT_GLASS in scene.mat_set and cfg.rr_enable:

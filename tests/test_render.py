@@ -183,3 +183,22 @@ def test_bounce_occupancy_counters(cornell):
     assert (np.diff(occ) <= 0).all()
     # the total matches the primary-ray share of last_ray_count
     assert occ.sum() <= integ.last_ray_count
+
+
+def test_onesample_mis_matches_ref_mean(cornell):
+    """The pbrt-v4-style onesample estimator (continuation ray = MIS BSDF
+    branch) must converge to the same radiance as the reference-faithful
+    dual-branch estimator."""
+    cam, scene, _ = cornell
+    f_ref = PathIntegrator(PathConfig(max_depth=3, mis_mode="ref"),
+                           spp=32).render(cam, scene)
+    f_one = PathIntegrator(PathConfig(max_depth=3, mis_mode="onesample"),
+                           spp=32).render(cam, scene)
+    r_ref = np.asarray(to_rgb(f_ref))
+    r_one = np.asarray(to_rgb(f_one))
+    assert np.isfinite(r_one).all()
+    np.testing.assert_allclose(r_one.mean((0, 1)), r_ref.mean((0, 1)),
+                               rtol=0.05)
+    # per-pixel agreement within MC noise at 32 spp
+    rel = np.abs(r_one - r_ref).mean() / max(r_ref.mean(), 1e-6)
+    assert rel < 0.25, rel

@@ -117,4 +117,48 @@ timed("pl e scalar rows   ", jax.jit(lambda t, i: pl.pallas_call(
     in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
               pl.BlockSpec(memory_space=pltpu.VMEM)],
     out_specs=pl.BlockSpec(memory_space=pltpu.VMEM))(
-        t, i.reshape(N, 1)), table, idx)
+        t, i.reshape(N, 1))), table, idx)
+
+
+# --- f. per-lane SUBLANE scatter (a traversal stack push): for each lane
+# l, write v[l] into stack[sp[l], l] on a (64, N) scratch, then read back
+# via take_along_axis. Exercises both the scatter and gather the
+# stack-based kernel needs.
+D = 64
+
+
+def k_stack(sp_ref, v_ref, o_ref):
+    def body(stack):
+        sp = sp_ref[:].reshape(1, N)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (D, N), 0)
+        push = rows == sp  # one-hot along sublanes
+        stack[:] = jnp.where(push, v_ref[:].reshape(1, N), stack[:])
+        o_ref[:] = jnp.take_along_axis(stack[:], sp, axis=0)[0]
+
+    pl.run_scoped(body, pltpu.VMEM((D, N), jnp.float32))
+
+
+def run_stack(sp, v):
+    return pl.pallas_call(
+        k_stack,
+        out_shape=jax.ShapeDtypeStruct((N,), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM))(sp, v)
+
+
+try:
+    sp = jnp.asarray(rng.integers(0, D, N).astype(np.int32))
+    v = jnp.asarray(rng.random(N).astype(np.float32))
+    out = jax.block_until_ready(jax.jit(run_stack)(sp, v))
+    ok = np.allclose(np.asarray(out), np.asarray(v))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        out = jax.jit(run_stack)(sp, v)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / 10
+    print(f"pl f stack push/pop: {'OK' if ok else 'WRONG RESULT'}  "
+          f"{dt*1e3:.3f} ms", flush=True)
+except Exception:
+    err = traceback.format_exc().strip().splitlines()
+    print(f"pl f stack push/pop: FAIL ({err[-1][:140]})", flush=True)
