@@ -294,6 +294,30 @@ def _alpha_test_inline(alpha_pack, alpha_texels, pid, b):
     return ~(flag & (a == 0.0))
 
 
+def bvh_intersect_chunked(bvh: BVHArrays, tri_pack, o, d, t_max,
+                          chunks: int = 4, **kw):
+    """Split the wave into ``chunks`` INDEPENDENT traversal loops.
+
+    The TPU runtime overlaps independent while_loop subgraphs (measured:
+    a second identical traversal adds ~20% wall time, four add ~140%),
+    and per-loop cost is linear in lane count — so k sub-loops of N/k
+    lanes cost ~1/k each and overlap, recovering most of the latency the
+    single monolithic loop serializes. Falls back to one loop for small
+    waves.
+    """
+    n = o.shape[0]
+    if chunks <= 1 or n < 4096 * chunks or n % chunks != 0:
+        return bvh_intersect(bvh, tri_pack, o, d, t_max, **kw)
+    c = n // chunks
+    outs = [bvh_intersect(bvh, tri_pack, o[i * c:(i + 1) * c],
+                          d[i * c:(i + 1) * c], t_max[i * c:(i + 1) * c],
+                          **kw)
+            for i in range(chunks)]
+    if kw.get("any_hit"):
+        return jnp.concatenate(outs)
+    return {k: jnp.concatenate([h[k] for h in outs]) for k in outs[0]}
+
+
 def bvh_intersect(bvh: BVHArrays, tri_pack, o, d, t_max,
                   any_hit: bool = False, alpha_pack=None, alpha_texels=None):
     """Lane-parallel BVH traversal (device).

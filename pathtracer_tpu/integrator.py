@@ -95,7 +95,6 @@ class PathConfig:
 
 def _scene_intersect_raw(scene, o, d, t_max):
     if scene.bvh is not None:
-        from .accel.bvh import bvh_intersect
         # Alpha masks are tested INLINE (exact, no retry cap) —
         # shape.rs:228-244 semantics. Masked triangles (typically ~1% of a
         # scene, foliage-style overlapping quads that defeat BVH pruning)
@@ -105,12 +104,10 @@ def _scene_intersect_raw(scene, o, d, t_max):
         # alpha BVH on the Sponza ivy). Order: alpha set first — its hit
         # t prunes the expensive main traversal.
         if not scene.split_alpha:
-            return bvh_intersect(scene.bvh, scene.tri_pack, o, d, t_max,
-                                 alpha_pack=scene.alpha_pack,
-                                 alpha_texels=scene.alpha_texels)
+            return _main_closest(scene, o, d, t_max)
         hit_a = _alpha_set_intersect(scene, o, d, t_max)
         t2 = jnp.where(hit_a["valid"], hit_a["t"], t_max)
-        hit = bvh_intersect(scene.bvh, scene.tri_pack, o, d, t2)
+        hit = _main_closest(scene, o, d, t2)
         # hit.valid implies t2-pruned, i.e. closer than the alpha hit
         c = hit["valid"]
         return dict(valid=c | hit_a["valid"],
@@ -122,6 +119,36 @@ def _scene_intersect_raw(scene, o, d, t_max):
         return intersect_pallas(o, d, t_max, scene.tri_pack)
     return intersect_brute(o, d, t_max, scene.data.p0, scene.data.p1,
                            scene.data.p2)
+
+
+def _main_closest(scene, o, d, t_max):
+    """Closest hit against the main tree: unified-row traversal (one
+    20-float gather per step, accel/bvh2) when available, else the
+    classic flattened-node path (with inline alpha when unsplit)."""
+    if scene.u_rows is not None:
+        from .accel.bvh2 import bvh2_intersect_chunked
+        return bvh2_intersect_chunked(scene.u_rows, scene.u_root,
+                                      o, d, t_max)
+    from .accel.bvh import bvh_intersect
+    return bvh_intersect(scene.bvh, scene.tri_pack, o, d, t_max,
+                         alpha_pack=None if scene.split_alpha
+                         else scene.alpha_pack,
+                         alpha_texels=None if scene.split_alpha
+                         else scene.alpha_texels)
+
+
+def _main_anyhit(scene, o, d, t_max):
+    if scene.u_rows is not None:
+        from .accel.bvh2 import bvh2_intersect_chunked
+        return bvh2_intersect_chunked(scene.u_rows, scene.u_root,
+                                      o, d, t_max, any_hit=True)
+    from .accel.bvh import bvh_intersect
+    return bvh_intersect(scene.bvh, scene.tri_pack, o, d, t_max,
+                         any_hit=True,
+                         alpha_pack=None if scene.split_alpha
+                         else scene.alpha_pack,
+                         alpha_texels=None if scene.split_alpha
+                         else scene.alpha_texels)
 
 
 def _alpha_set_intersect(scene, o, d, t_max, any_hit=False):
@@ -210,13 +237,8 @@ def _scene_intersect(scene, o, d, t_max):
 def _scene_intersect_p(scene, o, d, t_max):
     if not scene.has_alpha or scene.bvh is not None:
         if scene.bvh is not None:
-            from .accel.bvh import bvh_intersect
-            split = scene.split_alpha
-            occ = bvh_intersect(
-                scene.bvh, scene.tri_pack, o, d, t_max, any_hit=True,
-                alpha_pack=None if split else scene.alpha_pack,
-                alpha_texels=None if split else scene.alpha_texels)
-            if split:
+            occ = _main_anyhit(scene, o, d, t_max)
+            if scene.split_alpha:
                 # lanes already occluded skip the alpha pass (t_max = 0)
                 t2 = jnp.where(occ, 0.0, t_max)
                 occ = occ | _alpha_set_intersect(scene, o, d, t2,
@@ -297,6 +319,10 @@ class TracedScene:
     split_alpha: bool = False
     n_opaque: int = -1  # static: first alpha tri index when split
     bvh_alpha: "BVHArrays | None" = None  # noqa: F821
+    # unified-row main-tree layout (accel/bvh2): one 20-float gather per
+    # traversal step; built whenever the main tree is alpha-free
+    u_rows: Any = None  # (R, 20)
+    u_root: int = 0     # static signed root ref
 
     @staticmethod
     def create(scene_data, use_bvh: bool | None = None,
@@ -333,6 +359,12 @@ class TracedScene:
             p2 = _np.asarray(scene_data.p2)
             amask = _np.asarray(scene_data.tri_alpha_txd) >= 0
             n_alpha = int(amask.sum())
+            main_leaf = max_leaf
+            if n_alpha == 0 or 0 < n_alpha < f:
+                # the main tree will use the unified-row layout, whose
+                # leaf rows hold up to 2 inline triangles
+                from .accel.bvh2 import LEAF_SIZE
+                main_leaf = min(max_leaf, LEAF_SIZE)
             if 0 < n_alpha < f:
                 # alpha-split: masked tris (typically ~1%, foliage-style
                 # overlapping quads) leave the main tree. Small sets are
@@ -343,7 +375,7 @@ class TracedScene:
                 al_idx = _np.nonzero(amask)[0]
                 n_opaque = len(op_idx)
                 bvh = build_bvh(p0[op_idx], p1[op_idx], p2[op_idx],
-                                max_leaf)
+                                main_leaf)
                 if n_alpha <= 4096:
                     order = _np.concatenate([op_idx[bvh.order], al_idx])
                 else:
@@ -354,15 +386,29 @@ class TracedScene:
                     bvh_alpha = offset_leaf_tris(bvh_alpha, n_opaque)
                 scene_data = reorder_triangles(scene_data, order)
             else:
-                bvh = build_bvh(p0, p1, p2, max_leaf)
+                bvh = build_bvh(p0, p1, p2, main_leaf)
                 scene_data = reorder_triangles(scene_data, bvh.order)
         from .ops.pallas.intersect_pl import pack_triangles
         # inline-alpha tables follow BVH triangle order (built post-reorder)
         a_pack, a_texels = (pack_alpha_tri(scene_data) if bvh is not None
                             else (None, None))
+        u_rows = None
+        u_root = 0
+        if bvh is not None and (n_alpha == 0 or split_alpha):
+            # unified-row layout over the (alpha-free) main tree
+            from .accel.bvh2 import build_unified
+            p0r = _np.asarray(scene_data.p0)
+            p1r = _np.asarray(scene_data.p1)
+            p2r = _np.asarray(scene_data.p2)
+            table, u_root = build_unified(
+                _np.asarray(bvh.bounds_min), _np.asarray(bvh.bounds_max),
+                _np.asarray(bvh.offset), _np.asarray(bvh.n_prims),
+                _np.asarray(bvh.axis), p0r, p1r, p2r)
+            u_rows = jnp.asarray(table)
         return TracedScene(
             scene_data, bvh, use_pallas, mat_set, has_nm,
             split_alpha=split_alpha, n_opaque=n_opaque, bvh_alpha=bvh_alpha,
+            u_rows=u_rows, u_root=u_root,
             tri_pack=pack_triangles(scene_data.p0, scene_data.p1,
                                     scene_data.p2),
             alpha_pack=a_pack, alpha_texels=a_texels,
@@ -382,17 +428,19 @@ class TracedScene:
 jax.tree_util.register_pytree_node(
     TracedScene,
     lambda s: ((s.data, s.bvh, s.tri_attr, s.light_attr, s.mat_attr,
-                s.tri_pack, s.alpha_pack, s.alpha_texels, s.bvh_alpha),
+                s.tri_pack, s.alpha_pack, s.alpha_texels, s.bvh_alpha,
+                s.u_rows),
                (s.use_pallas, s.mat_set, s.has_normal_maps, s.has_tex,
                 s.has_env, s.n_lights, s.light_set, s.has_alpha,
-                s.split_alpha, s.n_opaque)),
+                s.split_alpha, s.n_opaque, s.u_root)),
     lambda aux, kids: TracedScene(
         kids[0], kids[1], aux[0], aux[1], aux[2],
         tri_attr=kids[2], light_attr=kids[3], mat_attr=kids[4],
         tri_pack=kids[5], alpha_pack=kids[6], alpha_texels=kids[7],
-        bvh_alpha=kids[8],
+        bvh_alpha=kids[8], u_rows=kids[9],
         has_tex=aux[3], has_env=aux[4], n_lights=aux[5], light_set=aux[6],
-        has_alpha=aux[7], split_alpha=aux[8], n_opaque=aux[9]),
+        has_alpha=aux[7], split_alpha=aux[8], n_opaque=aux[9],
+        u_root=aux[10]),
 )
 
 

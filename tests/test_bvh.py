@@ -132,3 +132,65 @@ def test_slab_test_on_plane_zero_direction():
     o3 = jnp.asarray([[2.0, -1.0, 0.5]])
     hit3 = _slab_test(bmin, bmax, o3, inv_d, jnp.asarray([np.inf]))
     assert not bool(np.asarray(hit3)[0])
+
+
+def test_bvh2_unified_matches_brute(cornell_bvh):
+    """Unified-row traversal (accel/bvh2) == brute oracle on random rays,
+    closest and any-hit, including bounded t_max."""
+    ts = cornell_bvh
+    assert ts.u_rows is not None
+    n = 2048
+    o, d = _random_rays(n, seed=11)
+    tmax = jnp.full(n, np.inf, jnp.float32)
+    from pathtracer_tpu.accel.bvh2 import bvh2_intersect
+    hb = intersect_brute(o, d, tmax, ts.data.p0, ts.data.p1, ts.data.p2)
+    hv = bvh2_intersect(ts.u_rows, ts.u_root, o, d, tmax)
+    np.testing.assert_array_equal(np.asarray(hb["valid"]),
+                                  np.asarray(hv["valid"]))
+    both = np.asarray(hb["valid"])
+    np.testing.assert_allclose(np.asarray(hb["t"])[both],
+                               np.asarray(hv["t"])[both], rtol=1e-4,
+                               atol=1e-6)
+    tri_agree = (np.asarray(hb["tri"])[both] ==
+                 np.asarray(hv["tri"])[both]).mean()
+    assert tri_agree > 0.99
+    tb = jnp.full(n, 1.5, jnp.float32)
+    pb = intersect_p_brute(o, d, tb, ts.data.p0, ts.data.p1, ts.data.p2)
+    pv = bvh2_intersect(ts.u_rows, ts.u_root, o, d, tb, any_hit=True)
+    np.testing.assert_array_equal(np.asarray(pb), np.asarray(pv))
+
+
+def test_bvh2_random_soup_and_degenerate():
+    """Unified layout on a random soup (odd leaf fill), a single-triangle
+    scene (leaf root), and coincident-centroid clusters."""
+    from pathtracer_tpu.accel.bvh import build_bvh
+    from pathtracer_tpu.accel.bvh2 import build_unified, bvh2_intersect
+    rng = np.random.default_rng(3)
+    for f in (1, 2, 7, 333):
+        base = rng.uniform(-2, 2, (f, 3)).astype(np.float32)
+        if f == 333:  # 30 coincident-centroid tris stress degenerate split
+            base[:30] = base[0]
+        p0 = base
+        p1 = base + rng.uniform(0.05, 0.4, (f, 3)).astype(np.float32)
+        p2 = base + rng.uniform(0.05, 0.4, (f, 3)).astype(np.float32)
+        bvh = build_bvh(p0, p1, p2, max_prims=2, native=False)
+        sp0, sp1, sp2 = p0[bvh.order], p1[bvh.order], p2[bvh.order]
+        rows, root = build_unified(
+            np.asarray(bvh.bounds_min), np.asarray(bvh.bounds_max),
+            np.asarray(bvh.offset), np.asarray(bvh.n_prims),
+            np.asarray(bvh.axis), sp0, sp1, sp2)
+        n = 512
+        o = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        o, d = jnp.asarray(o), jnp.asarray(d)
+        tmax = jnp.full(n, np.inf, jnp.float32)
+        hb = intersect_brute(o, d, tmax, jnp.asarray(sp0),
+                             jnp.asarray(sp1), jnp.asarray(sp2))
+        hv = bvh2_intersect(jnp.asarray(rows), root, o, d, tmax)
+        np.testing.assert_array_equal(np.asarray(hb["valid"]),
+                                      np.asarray(hv["valid"]), err_msg=str(f))
+        both = np.asarray(hb["valid"])
+        np.testing.assert_allclose(np.asarray(hb["t"])[both],
+                                   np.asarray(hv["t"])[both], rtol=1e-4,
+                                   atol=1e-6)
