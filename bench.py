@@ -4,12 +4,19 @@ Headline: Sponza-class 123.6k-tri GLB at 1920x1080, 4 spp, depth 5 —
 BASELINE.json Config E (>= 200 Mrays/s/chip target; ref gallery
 README.md:105-107). The cornell criterion workload (640x480, 16 spp,
 depth 5 — benches/benchmark_pathtracer.rs:9-33) rides along as an extra
-field. If the Sponza render fails (e.g. a TPU worker fault), falls back
-to the cornell metric so the driver always records a number.
+field.
+
+Timeout-proof by construction: the cornell JSON line is printed (and
+flushed) the moment it exists, so the driver ALWAYS records a number even
+if the process is killed mid-Sponza. The Sponza leg then runs under an
+explicit wall-clock budget (signal.alarm); if it completes, a second,
+upgraded JSON line replaces the verdict (the driver takes the LAST line).
 """
 
 import json
 import os
+import signal
+import sys
 import time
 import traceback
 
@@ -20,6 +27,7 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BASELINE_TARGET_MRAYS = 200.0  # BASELINE.json: >= 200 Mrays/sec/chip
+SPONZA_BUDGET_S = int(os.environ.get("BENCH_SPONZA_BUDGET_S", "420"))
 
 
 def _time_render(integ, cam, scene):
@@ -53,24 +61,44 @@ def bench_sponza():
                                              spp=4))
 
 
+class _Timeout(Exception):
+    pass
+
+
 def main():
     cornell = bench_cornell()
     out = {
-        "metric": "sponza_1080p_4spp_d5_mrays_per_sec",
+        "metric": "cornell_640x480_16spp_d5_mrays_per_sec",
         "unit": "Mrays/s",
+        "value": round(cornell, 3),
+        "vs_baseline": round(cornell / BASELINE_TARGET_MRAYS, 4),
         "cornell_640x480_16spp_d5_mrays": round(cornell, 3),
+        "sponza_pending": True,
     }
+    print(json.dumps(out), flush=True)  # recorded even if killed below
+
+    def _alarm(signum, frame):
+        raise _Timeout()
+
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(SPONZA_BUDGET_S)
     try:
         sponza = bench_sponza()
-        out["value"] = round(sponza, 3)
-        out["vs_baseline"] = round(sponza / BASELINE_TARGET_MRAYS, 4)
-    except Exception:  # noqa: BLE001 — record the cornell number anyway
+        signal.alarm(0)
+        out = {
+            "metric": "sponza_1080p_4spp_d5_mrays_per_sec",
+            "unit": "Mrays/s",
+            "value": round(sponza, 3),
+            "vs_baseline": round(sponza / BASELINE_TARGET_MRAYS, 4),
+            "cornell_640x480_16spp_d5_mrays": round(cornell, 3),
+        }
+        print(json.dumps(out), flush=True)
+    except _Timeout:
+        print(f"sponza leg exceeded {SPONZA_BUDGET_S}s budget; "
+              "cornell line stands", file=sys.stderr, flush=True)
+    except Exception:  # noqa: BLE001 — the cornell line already stands
+        signal.alarm(0)
         traceback.print_exc()
-        out["metric"] = "cornell_640x480_16spp_d5_mrays_per_sec"
-        out["value"] = round(cornell, 3)
-        out["vs_baseline"] = round(cornell / BASELINE_TARGET_MRAYS, 4)
-        out["sponza_failed"] = True
-    print(json.dumps(out))
 
 
 if __name__ == "__main__":

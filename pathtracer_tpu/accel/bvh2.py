@@ -26,8 +26,6 @@ minimizing gathered bytes x iterations, not branch coherence.
 
 from __future__ import annotations
 
-import sys
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -46,58 +44,55 @@ def build_unified(bmin, bmax, off, npr, ax, p0, p1, p2) -> tuple:
     Returns (rows (R, 20) f32, root_ref int). Triangle ids written into
     leaf rows are positions in the reordered arrays (= global tri ids
     after TracedScene's reorder).
+
+    Fully vectorized: the flattened SAH layout is depth-first pre-order
+    and every node emits exactly one unified row, so row_index(node) ==
+    node and the whole table is numpy fancy indexing (the earlier
+    per-node recursion took ~200 s on a 123.6k-tri scene; this is ms).
     """
     bmin = np.asarray(bmin, np.float32)
     bmax = np.asarray(bmax, np.float32)
     off = np.asarray(off, np.int64)
     npr = np.asarray(npr, np.int64)
     ax = np.asarray(ax, np.int64)
-    rows: list[np.ndarray] = []
+    p0 = np.asarray(p0, np.float32)
+    p1 = np.asarray(p1, np.float32)
+    p2 = np.asarray(p2, np.float32)
+    m = len(bmin)
+    assert m < (1 << 24), "row refs must stay exact in f32"
+    assert npr.max(initial=0) <= LEAF_SIZE, \
+        "unified layout requires max_leaf <= 2"
+    is_leaf = npr > 0
+    node_ids = np.arange(m, dtype=np.int64)
+    ref = np.where(is_leaf, -(node_ids + 1), node_ids + 1).astype(np.float32)
+    rows = np.zeros((m, U_WIDTH), np.float32)
 
-    rec_limit = sys.getrecursionlimit()
-    sys.setrecursionlimit(max(rec_limit, 10_000 + len(bmin)))
+    ii = np.nonzero(~is_leaf)[0]
+    c0 = ii + 1            # first child = next node in pre-order
+    c1 = off[ii]           # second child offset
+    rows[ii, 0:3] = bmin[c0]
+    rows[ii, 3:6] = bmax[c0]
+    rows[ii, 6:9] = bmin[c1]
+    rows[ii, 9:12] = bmax[c1]
+    rows[ii, 12] = ref[c0]
+    rows[ii, 13] = ref[c1]
+    rows[ii, 14] = ax[ii].astype(np.float32)
 
-    def leaf_row(node: int) -> int:
-        o, k = int(off[node]), int(npr[node])
-        assert k <= LEAF_SIZE, "unified layout requires max_leaf <= 2"
-        r = np.zeros(U_WIDTH, np.float32)
-        for j in range(LEAF_SIZE):
-            if j < k:
-                r[9 * j:9 * j + 3] = p0[o + j]
-                r[9 * j + 3:9 * j + 6] = p1[o + j]
-                r[9 * j + 6:9 * j + 9] = p2[o + j]
-                r[18 + j] = np.float32(o + j)
-            else:
-                r[18 + j] = np.float32(-1.0)
-        rows.append(r)
-        return len(rows) - 1
+    li = np.nonzero(is_leaf)[0]
+    lo = off[li]
+    lk = npr[li]
+    assert (lo + lk).max(initial=0) < (1 << 24), \
+        "leaf triangle ids must stay exact in f32"
+    for j in range(LEAF_SIZE):
+        has_j = j < lk
+        tid = np.where(has_j, lo + j, 0)
+        sel = has_j[:, None]
+        rows[li, 9 * j:9 * j + 3] = np.where(sel, p0[tid], 0.0)
+        rows[li, 9 * j + 3:9 * j + 6] = np.where(sel, p1[tid], 0.0)
+        rows[li, 9 * j + 6:9 * j + 9] = np.where(sel, p2[tid], 0.0)
+        rows[li, 18 + j] = np.where(has_j, tid, -1.0).astype(np.float32)
 
-    def conv(node: int) -> int:
-        """Emit rows for `node`'s subtree; return its signed ref."""
-        if npr[node] > 0:
-            return -(leaf_row(node) + 1)
-        c0, c1 = node + 1, int(off[node])
-        idx = len(rows)
-        rows.append(np.zeros(U_WIDTH, np.float32))  # placeholder
-        r = np.zeros(U_WIDTH, np.float32)
-        r[0:3] = bmin[c0]
-        r[3:6] = bmax[c0]
-        r[6:9] = bmin[c1]
-        r[9:12] = bmax[c1]
-        r[12] = np.float32(conv(c0))
-        r[13] = np.float32(conv(c1))
-        r[14] = np.float32(ax[node])
-        rows[idx] = r
-        return idx + 1
-
-    if npr[0] > 0:  # degenerate: root is a single leaf
-        root = -(leaf_row(0) + 1)
-    else:
-        root = conv(0)
-    sys.setrecursionlimit(rec_limit)
-    table = np.stack(rows)
-    assert table.shape[0] < (1 << 24), "row refs must stay exact in f32"
-    return table, root
+    return rows, int(ref[0])
 
 
 def bvh2_intersect(u_rows, u_root: int, o, d, t_max, any_hit: bool = False):

@@ -324,24 +324,28 @@ def reorder_triangles(scene: "SceneData", order: np.ndarray) -> "SceneData":
     ``order[k]`` is the old index of the triangle now at slot k. Area-light
     triangle references are remapped through the inverse permutation.
     """
+    # Host-side numpy throughout: jnp gathers here each trigger a compile
+    # (25 compiles, the bulk of a 123.6k-tri TracedScene.create).
     order = np.asarray(order)
     inv = np.empty_like(order)
     inv[order] = np.arange(len(order))
-    inv_d = jnp.asarray(inv.astype(np.int32))
-    idx = jnp.asarray(order.astype(np.int32))
-    light_tri = jnp.where(scene.light_tri >= 0,
-                          inv_d[jnp.maximum(scene.light_tri, 0)],
-                          scene.light_tri)
+    lt = np.asarray(scene.light_tri)
+    light_tri = jnp.asarray(
+        np.where(lt >= 0, inv[np.maximum(lt, 0)], lt).astype(np.int32))
+
+    def take(a):
+        return jnp.asarray(np.asarray(a)[order])
+
     return dataclasses.replace(
         scene,
-        p0=scene.p0[idx], p1=scene.p1[idx], p2=scene.p2[idx],
-        n0=scene.n0[idx], n1=scene.n1[idx], n2=scene.n2[idx],
-        has_normals=scene.has_normals[idx],
-        uv0=scene.uv0[idx], uv1=scene.uv1[idx], uv2=scene.uv2[idx],
-        material_id=scene.material_id[idx],
-        area_light_id=scene.area_light_id[idx],
-        tri_ng=scene.tri_ng[idx],
-        tri_alpha_txd=scene.tri_alpha_txd[idx],
+        p0=take(scene.p0), p1=take(scene.p1), p2=take(scene.p2),
+        n0=take(scene.n0), n1=take(scene.n1), n2=take(scene.n2),
+        has_normals=take(scene.has_normals),
+        uv0=take(scene.uv0), uv1=take(scene.uv1), uv2=take(scene.uv2),
+        material_id=take(scene.material_id),
+        area_light_id=take(scene.area_light_id),
+        tri_ng=take(scene.tri_ng),
+        tri_alpha_txd=take(scene.tri_alpha_txd),
         light_tri=light_tri,
     )
 
@@ -548,10 +552,10 @@ class SceneBuilder:
             n0=_as_f32(n[:, 0]), n1=_as_f32(n[:, 1]), n2=_as_f32(n[:, 2]),
             has_normals=jnp.asarray(has_n),
             uv0=_as_f32(uv[:, 0]), uv1=_as_f32(uv[:, 1]), uv2=_as_f32(uv[:, 2]),
-            material_id=jnp.asarray(mat, jnp.int32),
-            area_light_id=jnp.asarray(lid, jnp.int32),
+            material_id=jnp.asarray(np.asarray(mat, np.int32)),
+            area_light_id=jnp.asarray(np.asarray(lid, np.int32)),
             tri_ng=_as_f32(ng),
-            tri_alpha_txd=jnp.asarray(alpha_txd, jnp.int32),
+            tri_alpha_txd=jnp.asarray(np.asarray(alpha_txd, np.int32)),
             mat_type=jnp.asarray([mm["mtype"] for mm in mats], jnp.int32),
             mat_kd=_as_f32([mm["kd"] for mm in mats]),
             mat_ks=_as_f32([mm["ks"] for mm in mats]),
