@@ -57,10 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(ref render_single_pixel)")
     p.add_argument("--chunk_spp", type=int, default=None,
                    help="samples per progressive chunk")
-    p.add_argument("--mis", default="onesample",
+    p.add_argument("--mis", default="ref",
                    choices=("ref", "onesample"),
-                   help="MIS estimator: 'ref' re-intersects the BSDF "
-                        "branch like the reference; 'onesample' (default) "
+                   help="MIS estimator: 'ref' (default) re-intersects the "
+                        "BSDF branch like the reference; 'onesample' "
                         "reuses the continuation ray (pbrt-v4 form, one "
                         "traversal fewer per bounce)")
     p.add_argument("--profile", default=None, metavar="DIR",

@@ -376,7 +376,12 @@ class TracedScene:
                 n_opaque = len(op_idx)
                 bvh = build_bvh(p0[op_idx], p1[op_idx], p2[op_idx],
                                 main_leaf)
-                if n_alpha <= 4096:
+                # dense path materializes an (N_wave x n_alpha) t-matrix;
+                # bound it by BYTES at the max 131072-lane wave (~768 MB)
+                # rather than triangle count alone, so the threshold corner
+                # can't blow HBM (n_alpha=4096 x 131k lanes would be 2.1 GB)
+                dense_cap = min(4096, (768 << 20) // ((1 << 17) * 4))
+                if n_alpha <= dense_cap:
                     order = _np.concatenate([op_idx[bvh.order], al_idx])
                 else:
                     bvh_alpha = build_bvh(p0[al_idx], p1[al_idx],

@@ -413,13 +413,18 @@ def _mf_trans_pdf(wo, wi, ax, ay, eta_b):
     (ref microfacet.rs:362-383, hemisphere/eta corrected — see _mf_trans_f).
     """
     eta = jnp.where(cos_theta(wo) > 0.0, eta_b, 1.0 / eta_b)
-    wh = pm.normalize(wo + wi * eta[..., None])
+    wh_raw = wo + wi * eta[..., None]
+    # degenerate half-vector (wo + eta*wi ~ 0): normalize() yields NaN and
+    # the ~(d_o*d_i > 0) mask passes on NaN dots — guard like _mf_trans_f
+    wh_ok = pm.norm_sq(wh_raw) > 0.0
+    wh = pm.normalize(wh_raw)
     d_o, d_i = pm.dot(wo, wh), pm.dot(wi, wh)
     sqrt_denom = d_o + eta * d_i
     dwh_dwi = jnp.abs(eta * eta * d_i /
                       jnp.maximum(sqrt_denom * sqrt_denom, 1e-20))
     pdf = tr_pdf(wo, wh, ax, ay) * dwh_dwi
-    return jnp.where(~same_hemisphere(wo, wi) & ~(d_o * d_i > 0.0), pdf, 0.0)
+    ok = wh_ok & ~same_hemisphere(wo, wi) & ~(d_o * d_i > 0.0)
+    return jnp.where(ok, pdf, 0.0)
 
 
 def _fresnel_blend_f(rd, rs, wo, wi, ax, ay):
