@@ -95,11 +95,14 @@ def build_unified(bmin, bmax, off, npr, ax, p0, p1, p2) -> tuple:
     return rows, int(ref[0])
 
 
-def bvh2_intersect(u_rows, u_root: int, o, d, t_max, any_hit: bool = False):
+def bvh2_intersect(u_rows, u_root: int, o, d, t_max, any_hit: bool = False,
+                   count_steps: bool = False):
     """Unified-row traversal: one (N, 20) gather per step.
 
     u_rows: (R, 20) device table; u_root: static signed root ref.
     Returns the intersect_brute-style hit dict, or (N,) bool occlusion.
+    count_steps=True adds a per-lane live-iteration counter to the hit
+    dict ("steps") — profiling only.
     """
     n = o.shape[0]
     f32 = jnp.float32
@@ -116,6 +119,8 @@ def bvh2_intersect(u_rows, u_root: int, o, d, t_max, any_hit: bool = False):
         b=jnp.zeros((n, 3), f32),
         found=jnp.zeros((n,), bool),
     )
+    if count_steps:
+        state["steps"] = jnp.zeros((n,), jnp.int32)
 
     def live_mask(st):
         live = (st["cur"] != 0) | (st["sp"] > 0)
@@ -174,16 +179,23 @@ def bvh2_intersect(u_rows, u_root: int, o, d, t_max, any_hit: bool = False):
         sp = jnp.where(push, sp + 1, sp)
 
         cur = jnp.where(iact, first, jnp.where(lact, 0, cur))
-        return dict(stack=stack, sp=sp, cur=cur, t_best=t_best, tri=tri,
-                    b=b, found=found)
+        out = dict(stack=stack, sp=sp, cur=cur, t_best=t_best, tri=tri,
+                   b=b, found=found)
+        if count_steps:
+            out["steps"] = st["steps"] + live.astype(jnp.int32)
+        return out
 
     final = jax.lax.while_loop(lambda st: jnp.any(live_mask(st)), body,
                                state)
     if any_hit:
-        return final["found"]
+        return (final["found"], final["steps"]) if count_steps \
+            else final["found"]
     valid = final["found"]
-    return dict(valid=valid, t=jnp.where(valid, final["t_best"], 0.0),
-                tri=final["tri"], b=final["b"])
+    out = dict(valid=valid, t=jnp.where(valid, final["t_best"], 0.0),
+               tri=final["tri"], b=final["b"])
+    if count_steps:
+        out["steps"] = final["steps"]
+    return out
 
 
 def bvh2_intersect_chunked(u_rows, u_root: int, o, d, t_max,

@@ -127,29 +127,34 @@ def _quat_to_mat(x, y, z, w):
 
 
 def _load_texture_image(gf: "GLTFFile", tex_index: int):
-    """Decode a glTF texture's image (PNG only) → float array or None."""
+    """Decode a glTF texture's image (PNG or JPEG, by file path or
+    embedded bufferView/data URI) → float array or None.
+    Parity: importer/gltf.rs:99-165 loads any image-crate format; glTF
+    mandates PNG + JPEG, which is what we decode."""
+    from ..utils.image import decode_image_bytes, read_jpeg, read_png
     try:
         tex = gf.json["textures"][tex_index]
         img = gf.json["images"][tex["source"]]
         if "uri" in img and not img["uri"].startswith("data:"):
             path = os.path.join(gf.dir, img["uri"])
-            if not path.lower().endswith(".png"):
-                return None
-            from ..utils.image import read_png
-            return read_png(path).astype(np.float32) / 255.0
+            low = path.lower()
+            if low.endswith(".png"):
+                return read_png(path).astype(np.float32) / 255.0
+            if low.endswith((".jpg", ".jpeg")):
+                return read_jpeg(path).astype(np.float32) / 255.0
+            return None
+        if "uri" in img:  # data: URI
+            import base64
+            blob = base64.b64decode(img["uri"].split(",", 1)[1])
+            return decode_image_bytes(
+                blob, img.get("mimeType", "")).astype(np.float32) / 255.0
         if "bufferView" in img:
             bv = gf.json["bufferViews"][img["bufferView"]]
             data = gf.buffer(bv["buffer"])
             blob = data[bv.get("byteOffset", 0):
                         bv.get("byteOffset", 0) + bv["byteLength"]]
-            if blob[:8] != b"\x89PNG\r\n\x1a\n":
-                return None
-            import tempfile
-            with tempfile.NamedTemporaryFile(suffix=".png") as f:
-                f.write(blob)
-                f.flush()
-                from ..utils.image import read_png
-                return read_png(f.name).astype(np.float32) / 255.0
+            return decode_image_bytes(
+                blob, img.get("mimeType", "")).astype(np.float32) / 255.0
     except Exception:  # noqa: BLE001 — unsupported image formats fall back
         log.warning("unsupported image format for texture %d", tex_index)
     return None

@@ -89,6 +89,42 @@ def read_png(path: str) -> np.ndarray:
     return out.reshape(h, w, nch)  # (H, W, 3) RGB or (H, W, 4) RGBA
 
 
+def read_jpeg(path_or_bytes) -> np.ndarray:
+    """Decode a JPEG → (H, W, 3) uint8 RGB (ref importer/gltf.rs:99-165
+    loads any image-crate format; glTF's other mandated format besides PNG
+    is JPEG). Uses the environment's Pillow — baseline and progressive
+    JPEG both decode; grayscale/CMYK are converted to RGB.
+    """
+    import io
+
+    from PIL import Image
+
+    src = io.BytesIO(path_or_bytes) if isinstance(path_or_bytes, bytes) \
+        else path_or_bytes
+    with Image.open(src) as im:
+        return np.asarray(im.convert("RGB"), np.uint8)
+
+
+def decode_image_bytes(data: bytes, mime: str = "") -> np.ndarray:
+    """Decode an embedded image buffer (PNG or JPEG) → (H, W, 3|4) uint8.
+
+    Dispatches on magic bytes, not the (often wrong) glTF mimeType.
+    """
+    import io
+    import tempfile
+
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        # read_png takes a path; keep its zero-dependency core
+        with tempfile.NamedTemporaryFile(suffix=".png") as f:
+            f.write(data)
+            f.flush()
+            return read_png(f.name)
+    if data[:2] == b"\xff\xd8":
+        return read_jpeg(data)
+    raise ValueError(f"unsupported image format (mime={mime!r}, "
+                     f"magic={data[:4]!r})")
+
+
 def read_hdr(path: str) -> np.ndarray:
     """Read a Radiance .hdr (RGBE) file → (H, W, 3) float32 linear."""
     with open(path, "rb") as f:

@@ -105,3 +105,77 @@ def test_gltf_default_camera(tmp_path):
     path = _make_gltf(str(tmp_path), [{"pbrMetallicRoughness": {}}])
     cam, scene, _ = load_gltf(path, resolution=(128, 96))
     assert cam.resolution == (128, 96)
+
+
+def test_gltf_jpeg_texture(tmp_path):
+    """A JPEG-textured GLTF must import the texture (not fall back to
+    flat factors) — parity with importer/gltf.rs:99-165 which loads any
+    image-crate format (glTF mandates PNG + JPEG)."""
+    import io
+
+    from PIL import Image
+
+    from pathtracer_tpu.scene.gltf import load_gltf
+
+    # red/blue checker JPEG, data-URI embedded
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[:8, :8] = [255, 0, 0]
+    img[8:, 8:] = [255, 0, 0]
+    img[:8, 8:] = [0, 0, 255]
+    img[8:, :8] = [0, 0, 255]
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=95)
+    jpeg_uri = ("data:image/jpeg;base64,"
+                + base64.b64encode(buf.getvalue()).decode())
+
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    uv = np.array([[0, 0], [1, 0], [0, 1]], np.float32)
+    idx = np.array([[0, 1, 2]], np.uint16)
+    pos_b, uv_b, idx_b = pos.tobytes(), uv.tobytes(), idx.tobytes()
+    blob = pos_b + uv_b + idx_b + b"\x00" * ((4 - len(idx_b) % 4) % 4)
+    doc = {
+        "asset": {"version": "2.0"}, "scene": 0,
+        "scenes": [{"nodes": [0]}], "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0, "TEXCOORD_0": 1}, "indices": 2,
+            "material": 0}]}],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorTexture": {"index": 0}}}],
+        "textures": [{"source": 0}],
+        "images": [{"uri": jpeg_uri}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 3,
+             "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5126, "count": 3,
+             "type": "VEC2"},
+            {"bufferView": 2, "componentType": 5123, "count": 3,
+             "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": len(pos_b)},
+            {"buffer": 0, "byteOffset": len(pos_b), "byteLength": len(uv_b)},
+            {"buffer": 0, "byteOffset": len(pos_b) + len(uv_b),
+             "byteLength": len(idx_b)},
+        ],
+        "buffers": [{
+            "byteLength": len(blob),
+            "uri": "data:application/octet-stream;base64,"
+                   + base64.b64encode(blob).decode(),
+        }],
+    }
+    p = os.path.join(str(tmp_path), "jpeg_tex.gltf")
+    json.dump(doc, open(p, "w"))
+    cam, scene, _ = load_gltf(p)
+    # mesh material (slot 1; slot 0 is the default) binds a kd texture
+    assert int(scene.mat_kd_tx[1]) >= 0
+    # the pooled level-0 image holds the checker: red and blue texels
+    # both present (JPEG is lossy; allow wide tolerance)
+    pool = np.asarray(scene.tex.data)
+    txd = int(scene.mat_kd_tx[1])
+    img_id = int(scene.txd_image[txd])
+    base = int(np.asarray(scene.tex.level_offset)[img_id, 0])
+    w0 = int(np.asarray(scene.tex.level_w)[img_id, 0])
+    h0 = int(np.asarray(scene.tex.level_h)[img_id, 0])
+    texels = pool[base:base + w0 * h0].reshape(h0, w0, 3)
+    assert texels[2, 2, 0] > 0.5 and texels[2, 2, 2] < 0.3  # red corner
+    assert texels[2, -3, 2] > 0.5 and texels[2, -3, 0] < 0.3  # blue corner
