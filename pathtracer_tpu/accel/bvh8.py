@@ -55,16 +55,18 @@ STACK8 = 12  # BVH8 height bound; builder asserts depth < STACK8
 # host build: binary SAH -> 8-wide collapse -> row table
 
 
-def _collapse_children(node, off, npr, sa):
+def _collapse_children(node, off, npr, sa, subtree_n):
     """Expand a binary interior node into up to 8 cluster roots by
-    repeatedly splitting the cluster with the largest surface area."""
+    repeatedly splitting the cluster with the largest surface area.
+    Clusters whose whole subtree holds <= LEAF8 triangles stay MERGED
+    (they become one full leaf row instead of a chain of half-empty
+    ones — the subtree's triangles are contiguous in pre-order)."""
     clusters = [node]
     while len(clusters) < 8:
-        # pick the interior cluster with max surface area
         best = -1
         best_sa = -1.0
         for i, c in enumerate(clusters):
-            if npr[c] == 0 and sa[c] > best_sa:
+            if npr[c] == 0 and subtree_n[c] > LEAF8 and sa[c] > best_sa:
                 best, best_sa = i, sa[c]
         if best < 0:
             break
@@ -83,23 +85,56 @@ def build_bvh8(p0, p1, p2, max_leaf: int = LEAF8):
     """
     assert max_leaf <= LEAF8
     b = build_bvh(np.asarray(p0), np.asarray(p1), np.asarray(p2), max_leaf)
+    p0r = np.asarray(p0, np.float32)[b.order]
+    p1r = np.asarray(p1, np.float32)[b.order]
+    p2r = np.asarray(p2, np.float32)[b.order]
+    table, depth = bvh8_from_binary(b, p0r, p1r, p2r)
+    return table, b.order, depth
+
+
+def bvh8_from_binary(b, p0r, p1r, p2r):
+    """Collapse a built binary BVH (accel/bvh.BVHArrays) into the 8-wide
+    row table. p0r/p1r/p2r are the triangle vertices ALREADY permuted
+    into ``b.order``. Returns (table (R, 64) f32, depth). The binary
+    leaves may be any size ≤ LEAF8 — subtrees holding ≤ LEAF8 triangles
+    are merged into one full leaf row (pre-order flattening keeps each
+    subtree's primitives contiguous)."""
     bmin = np.asarray(b.bounds_min, np.float32)
     bmax = np.asarray(b.bounds_max, np.float32)
     off = np.asarray(b.offset, np.int64)
     npr = np.asarray(b.n_prims, np.int64)
-    p0r = np.asarray(p0, np.float32)[b.order]
-    p1r = np.asarray(p1, np.float32)[b.order]
-    p2r = np.asarray(p2, np.float32)[b.order]
+    p0r = np.asarray(p0r, np.float32)
+    p1r = np.asarray(p1r, np.float32)
+    p2r = np.asarray(p2r, np.float32)
+    assert npr.max(initial=0) <= LEAF8, "binary leaves must fit a leaf row"
     ext = np.maximum(bmax - bmin, 0.0)
     sa = (ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2]
           + ext[:, 2] * ext[:, 0])
+    # subtree triangle (start, count): pre-order flatten keeps each
+    # subtree's primitives contiguous, enabling merged full leaves.
+    # Plain-python lists: numpy scalar indexing in this 2F-length loop
+    # costs ~10 s at 123k tris, lists ~0.1 s.
+    m = len(bmin)
+    npr_l = npr.tolist()
+    off_l = off.tolist()
+    subtree_n = [0] * m
+    subtree_s = [0] * m
+    for i in range(m - 1, -1, -1):
+        if npr_l[i] > 0:
+            subtree_n[i] = npr_l[i]
+            subtree_s[i] = off_l[i]
+        else:
+            subtree_n[i] = subtree_n[i + 1] + subtree_n[off_l[i]]
+            subtree_s[i] = subtree_s[i + 1]
+    subtree_n = np.asarray(subtree_n, np.int64)
+    subtree_s = np.asarray(subtree_s, np.int64)
 
     rows: list[np.ndarray] = [np.zeros(W8, np.float32)]  # row 0 = root
     max_depth = [1]
 
     def leaf_row(node: int) -> np.ndarray:
         r = np.zeros(W8, np.float32)
-        o, k = int(off[node]), int(npr[node])
+        o, k = int(subtree_s[node]), int(subtree_n[node])
         assert k <= LEAF8
         for j in range(LEAF8):
             if j < k:
@@ -115,7 +150,7 @@ def build_bvh8(p0, p1, p2, max_leaf: int = LEAF8):
     def interior_row(node: int, depth: int) -> np.ndarray:
         """Emit the 8-row child block of `node`; return its row."""
         max_depth[0] = max(max_depth[0], depth)
-        clusters = _collapse_children(node, off, npr, sa)
+        clusters = _collapse_children(node, off, npr, sa, subtree_n)
         # slot assignment by centroid octant vs node center
         c_lo = np.stack([bmin[c] for c in clusters])
         c_hi = np.stack([bmax[c] for c in clusters])
@@ -147,13 +182,13 @@ def build_bvh8(p0, p1, p2, max_leaf: int = LEAF8):
             r[24 + s] = bmax[c][0]
             r[32 + s] = bmax[c][1]
             r[40 + s] = bmax[c][2]
-            rows[base + s] = (leaf_row(c) if npr[c] > 0
+            rows[base + s] = (leaf_row(c) if subtree_n[c] <= LEAF8
                              else interior_row(c, depth + 1))
         r[48] = np.float32(base)
         return r
 
-    if npr[0] > 0:
-        # degenerate: whole scene is one leaf -> root with a single child
+    if subtree_n[0] <= LEAF8:
+        # degenerate: whole scene fits one leaf -> root with a single child
         r = np.zeros(W8, np.float32)
         r[0:24] = np.inf
         r[24:48] = np.inf
@@ -173,8 +208,9 @@ def build_bvh8(p0, p1, p2, max_leaf: int = LEAF8):
 
     table = np.stack(rows)
     assert table.shape[0] < (1 << 24), "row refs must stay exact in f32"
+    assert len(p0r) < (1 << 24), "leaf tri ids must stay exact in f32"
     assert max_depth[0] < STACK8, f"BVH8 depth {max_depth[0]} >= {STACK8}"
-    return table, b.order, max_depth[0]
+    return table, max_depth[0]
 
 
 # --------------------------------------------------------------------------

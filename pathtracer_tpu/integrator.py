@@ -122,9 +122,13 @@ def _scene_intersect_raw(scene, o, d, t_max):
 
 
 def _main_closest(scene, o, d, t_max):
-    """Closest hit against the main tree: unified-row traversal (one
-    20-float gather per step, accel/bvh2) when available, else the
-    classic flattened-node path (with inline alpha when unsplit)."""
+    """Closest hit against the main tree: 8-wide row traversal
+    (accel/bvh8, one 64-float gather per step + register stack) when
+    available, else unified binary rows (accel/bvh2), else the classic
+    flattened-node path (with inline alpha when unsplit)."""
+    if scene.b8_rows is not None:
+        from .accel.bvh8 import bvh8_intersect_chunked
+        return bvh8_intersect_chunked(scene.b8_rows, o, d, t_max)
     if scene.u_rows is not None:
         from .accel.bvh2 import bvh2_intersect_chunked
         return bvh2_intersect_chunked(scene.u_rows, scene.u_root,
@@ -138,6 +142,10 @@ def _main_closest(scene, o, d, t_max):
 
 
 def _main_anyhit(scene, o, d, t_max):
+    if scene.b8_rows is not None:
+        from .accel.bvh8 import bvh8_intersect_chunked
+        return bvh8_intersect_chunked(scene.b8_rows, o, d, t_max,
+                                      any_hit=True)
     if scene.u_rows is not None:
         from .accel.bvh2 import bvh2_intersect_chunked
         return bvh2_intersect_chunked(scene.u_rows, scene.u_root,
@@ -323,6 +331,9 @@ class TracedScene:
     # traversal step; built whenever the main tree is alpha-free
     u_rows: Any = None  # (R, 20)
     u_root: int = 0     # static signed root ref
+    # 8-wide main-tree layout (accel/bvh8): 64-float rows, register short
+    # stack — ~3x fewer row gathers than bvh2; preferred when present
+    b8_rows: Any = None  # (R, 64)
 
     @staticmethod
     def create(scene_data, use_bvh: bool | None = None,
@@ -399,6 +410,7 @@ class TracedScene:
                             else (None, None))
         u_rows = None
         u_root = 0
+        b8_rows = None
         if bvh is not None and (n_alpha == 0 or split_alpha):
             # unified-row layout over the (alpha-free) main tree
             from .accel.bvh2 import build_unified
@@ -410,10 +422,17 @@ class TracedScene:
                 _np.asarray(bvh.offset), _np.asarray(bvh.n_prims),
                 _np.asarray(bvh.axis), p0r, p1r, p2r)
             u_rows = jnp.asarray(table)
+            # 8-wide collapse of the same tree (preferred traversal: one
+            # 64-float row gather/step, merged full leaves, register stack)
+            from .accel.bvh8 import bvh8_from_binary
+            n_main = n_opaque if split_alpha else f
+            t8, _depth8 = bvh8_from_binary(bvh, p0r[:n_main], p1r[:n_main],
+                                           p2r[:n_main])
+            b8_rows = jnp.asarray(t8)
         return TracedScene(
             scene_data, bvh, use_pallas, mat_set, has_nm,
             split_alpha=split_alpha, n_opaque=n_opaque, bvh_alpha=bvh_alpha,
-            u_rows=u_rows, u_root=u_root,
+            u_rows=u_rows, u_root=u_root, b8_rows=b8_rows,
             tri_pack=pack_triangles(scene_data.p0, scene_data.p1,
                                     scene_data.p2),
             alpha_pack=a_pack, alpha_texels=a_texels,
@@ -434,7 +453,7 @@ jax.tree_util.register_pytree_node(
     TracedScene,
     lambda s: ((s.data, s.bvh, s.tri_attr, s.light_attr, s.mat_attr,
                 s.tri_pack, s.alpha_pack, s.alpha_texels, s.bvh_alpha,
-                s.u_rows),
+                s.u_rows, s.b8_rows),
                (s.use_pallas, s.mat_set, s.has_normal_maps, s.has_tex,
                 s.has_env, s.n_lights, s.light_set, s.has_alpha,
                 s.split_alpha, s.n_opaque, s.u_root)),
@@ -442,7 +461,7 @@ jax.tree_util.register_pytree_node(
         kids[0], kids[1], aux[0], aux[1], aux[2],
         tri_attr=kids[2], light_attr=kids[3], mat_attr=kids[4],
         tri_pack=kids[5], alpha_pack=kids[6], alpha_texels=kids[7],
-        bvh_alpha=kids[8], u_rows=kids[9],
+        bvh_alpha=kids[8], u_rows=kids[9], b8_rows=kids[10],
         has_tex=aux[3], has_env=aux[4], n_lights=aux[5], light_set=aux[6],
         has_alpha=aux[7], split_alpha=aux[8], n_opaque=aux[9],
         u_root=aux[10]),
@@ -535,7 +554,7 @@ def estimate_direct(scene, cfg, it, mp, u_scatt, u_light, light_idx,
 
 
 def trace_wave(scene, cfg: PathConfig, draw, draw2, o, d,
-               rxd=None, ryd=None):
+               rxd=None, ryd=None, draw2_arr=None):
     """Trace one wavefront of rays to completion; returns (L (N,3), rays).
 
     draw(dim) / draw2(dim) produce one/two sampler dimensions for the whole
@@ -662,8 +681,18 @@ def trace_wave(scene, cfg: PathConfig, draw, draw2, o, d,
                 ld = jnp.zeros((n, 3), f32)
                 for li_i in range(scene.n_lights):
                     db = dim_base + DIMS_PER_BOUNCE + 4 * li_i
-                    u_light = draw2(db)
-                    u_scatt = None if one_sample else draw2(db + 2)
+                    if draw2_arr is not None:
+                        # per-sample 2D ARRAYS: the n_lights points form a
+                        # latin-hypercube set (ref get_2d_array fills via
+                        # latin_hyper_cube_2d, integrator.rs:152-153)
+                        u_light = draw2_arr(dim_base + DIMS_PER_BOUNCE,
+                                            li_i, scene.n_lights)
+                        u_scatt = None if one_sample else draw2_arr(
+                            dim_base + DIMS_PER_BOUNCE + 1, li_i,
+                            scene.n_lights)
+                    else:
+                        u_light = draw2(db)
+                        u_scatt = None if one_sample else draw2(db + 2)
                     idx_i = jnp.full((n,), li_i, jnp.int32)
                     ld = ld + estimate_direct(scene, cfg, it, mp, u_scatt,
                                               u_light, idx_i, wo,
@@ -781,6 +810,7 @@ def render_band(scene, cfg: PathConfig, spp: int, band_shape: tuple[int, int],
             film_pad, rays_total, bad_total, occ_total = carry
         else:
             film_pad, rays_total, bad_total = carry
+        draw2_arr = None
         if cfg.sampler == "sobol":
             idx_lo, idx_hi = sb.sobol_index(
                 b_base, frame_delta[s], frame_lo[s], frame_hi[s],
@@ -810,11 +840,17 @@ def render_band(scene, cfg: PathConfig, spp: int, band_shape: tuple[int, int],
             if cfg.sampler == "stratified":
                 draw = lambda dim: smp.stratified_sample_dim(
                     pixel_hash, frame, total_spp_log2, dim)
+                # consecutive-dim pairs are 2D-GRID stratified, matching
+                # stratified_sample_2d + shuffle (sampling.rs:20-58)
+                draw2 = lambda dim: smp.stratified_sample_dim2(
+                    pixel_hash, frame, total_spp_log2, dim)
+                draw2_arr = lambda dim, i, n: smp.lhs_2d_dim(
+                    pixel_hash, frame, dim, i, n)
             else:
                 draw = lambda dim: smp.random_sample_dim(
                     pixel_hash, frame, dim)
-            draw2 = lambda dim: jnp.stack([draw(dim), draw(dim + 1)],
-                                          axis=-1)
+                draw2 = lambda dim: jnp.stack([draw(dim), draw(dim + 1)],
+                                              axis=-1)
             jx = draw(0)
             jy = draw(1)
         p_film = jnp.stack([pxf + jx, pyf + jy], axis=-1)
@@ -827,7 +863,8 @@ def render_band(scene, cfg: PathConfig, spp: int, band_shape: tuple[int, int],
             o, d = generate_rays(r2c, cam_rot, cam_pos, p_film)
             rxd = ryd = None
         radiance, rays, n_bad, occ = trace_wave(scene, cfg, draw, draw2,
-                                                o, d, rxd, ryd)
+                                                o, d, rxd, ryd,
+                                                draw2_arr=draw2_arr)
         tile = splat_tile(radiance.reshape(th, tw, 3),
                           jx.reshape(th, tw), jy.reshape(th, tw),
                           valid, filter_f1d, radius=filter_radius)
