@@ -55,25 +55,11 @@ STACK8 = 12  # BVH8 height bound; builder asserts depth < STACK8
 # host build: binary SAH -> 8-wide collapse -> row table
 
 
-def _collapse_children(node, off, npr, sa, subtree_n):
-    """Expand a binary interior node into up to 8 cluster roots by
-    repeatedly splitting the cluster with the largest surface area.
-    Clusters whose whole subtree holds <= LEAF8 triangles stay MERGED
-    (they become one full leaf row instead of a chain of half-empty
-    ones — the subtree's triangles are contiguous in pre-order)."""
-    clusters = [node]
-    while len(clusters) < 8:
-        best = -1
-        best_sa = -1.0
-        for i, c in enumerate(clusters):
-            if npr[c] == 0 and subtree_n[c] > LEAF8 and sa[c] > best_sa:
-                best, best_sa = i, sa[c]
-        if best < 0:
-            break
-        c = clusters.pop(best)
-        clusters.append(c + 1)       # first child (pre-order)
-        clusters.append(int(off[c]))  # second child
-    return clusters
+# candidate slot order per octant preference: slots ranked by hamming
+# distance of (slot XOR pref) — nearest-free fallback for slot conflicts
+_ORDER_TAB = np.asarray(
+    [sorted(range(8), key=lambda s, p=p: (bin(s ^ p).count("1"), s))
+     for p in range(8)], np.int64)  # (8, 8)
 
 
 def build_bvh8(p0, p1, p2, max_leaf: int = LEAF8):
@@ -129,63 +115,28 @@ def bvh8_from_binary(b, p0r, p1r, p2r):
     subtree_n = np.asarray(subtree_n, np.int64)
     subtree_s = np.asarray(subtree_s, np.int64)
 
-    rows: list[np.ndarray] = [np.zeros(W8, np.float32)]  # row 0 = root
-    max_depth = [1]
-
-    def leaf_row(node: int) -> np.ndarray:
-        r = np.zeros(W8, np.float32)
-        o, k = int(subtree_s[node]), int(subtree_n[node])
-        assert k <= LEAF8
+    def leaf_rows_vec(nodes: np.ndarray) -> np.ndarray:
+        """(K,) node ids (subtree_n <= LEAF8) -> (K, 64) leaf rows."""
+        k = len(nodes)
+        r = np.zeros((k, W8), np.float32)
+        o = subtree_s[nodes]
+        cnt = subtree_n[nodes]
         for j in range(LEAF8):
-            if j < k:
-                r[9 * j:9 * j + 3] = p0r[o + j]
-                r[9 * j + 3:9 * j + 6] = p1r[o + j]
-                r[9 * j + 6:9 * j + 9] = p2r[o + j]
-                r[54 + j] = np.float32(o + j)
-            else:
-                r[54 + j] = np.float32(-1.0)
-        r[63] = 1.0
+            have = j < cnt
+            tri = np.where(have, o + j, 0)
+            r[:, 9 * j:9 * j + 3] = np.where(have[:, None], p0r[tri], 0.0)
+            r[:, 9 * j + 3:9 * j + 6] = np.where(have[:, None], p1r[tri], 0.0)
+            r[:, 9 * j + 6:9 * j + 9] = np.where(have[:, None], p2r[tri], 0.0)
+            r[:, 54 + j] = np.where(have, tri.astype(np.float32), -1.0)
+        r[:, 63] = 1.0
         return r
 
-    def interior_row(node: int, depth: int) -> np.ndarray:
-        """Emit the 8-row child block of `node`; return its row."""
-        max_depth[0] = max(max_depth[0], depth)
-        clusters = _collapse_children(node, off, npr, sa, subtree_n)
-        # slot assignment by centroid octant vs node center
-        c_lo = np.stack([bmin[c] for c in clusters])
-        c_hi = np.stack([bmax[c] for c in clusters])
-        centers = 0.5 * (c_lo + c_hi)
-        node_center = 0.5 * (bmin[node] + bmax[node])
-        prefs = ((centers[:, 0] > node_center[0]).astype(np.int64) * 4
-                 + (centers[:, 1] > node_center[1]).astype(np.int64) * 2
-                 + (centers[:, 2] > node_center[2]).astype(np.int64))
-        taken = np.zeros(8, bool)
-        slots = np.zeros(len(clusters), np.int64)
-        for i, pref in enumerate(prefs):
-            # preferred slot, else nearest free by XOR (hamming-ish)
-            for cand in sorted(range(8), key=lambda s: bin(s ^ pref).count("1")):
-                if not taken[cand]:
-                    taken[cand] = True
-                    slots[i] = cand
-                    break
-        base = len(rows)
-        rows.extend(np.zeros(W8, np.float32) for _ in range(8))
-        r = np.zeros(W8, np.float32)
-        # empty slots: +inf boxes (culled unconditionally by the slab test)
-        r[0:24] = np.inf   # bmin xyz
-        r[24:48] = np.inf  # bmax xyz
-        for i, c in enumerate(clusters):
-            s = int(slots[i])
-            r[0 + s] = bmin[c][0]
-            r[8 + s] = bmin[c][1]
-            r[16 + s] = bmin[c][2]
-            r[24 + s] = bmax[c][0]
-            r[32 + s] = bmax[c][1]
-            r[40 + s] = bmax[c][2]
-            rows[base + s] = (leaf_row(c) if subtree_n[c] <= LEAF8
-                             else interior_row(c, depth + 1))
-        r[48] = np.float32(base)
-        return r
+    # vectorized level-by-level collapse (BFS; the row a node lands in is
+    # assigned by its parent, blocks of 8 allocated in frontier order)
+    idx_chunks: list[np.ndarray] = []
+    val_chunks: list[np.ndarray] = []
+    alloc = 1  # row 0 = root
+    depth = 1
 
     if subtree_n[0] <= LEAF8:
         # degenerate: whole scene fits one leaf -> root with a single child
@@ -194,23 +145,86 @@ def bvh8_from_binary(b, p0r, p1r, p2r):
         r[24:48] = np.inf
         r[0], r[8], r[16] = bmin[0]
         r[24], r[32], r[40] = bmax[0]
-        base = len(rows)
-        rows.extend(np.zeros(W8, np.float32) for _ in range(8))
-        rows[base] = leaf_row(0)
-        r[48] = np.float32(base)
-        rows[0] = r
+        r[48] = np.float32(alloc)
+        idx_chunks.append(np.asarray([0, alloc], np.int64))
+        val_chunks.append(np.stack([r, leaf_rows_vec(np.asarray([0]))[0]]))
+        alloc += 8
     else:
-        import sys
-        lim = sys.getrecursionlimit()
-        sys.setrecursionlimit(max(lim, 10_000))
-        rows[0] = interior_row(0, 1)
-        sys.setrecursionlimit(lim)
+        frontier = np.asarray([0], np.int64)       # binary node ids
+        frontier_rows = np.asarray([0], np.int64)  # their table rows
+        while len(frontier):
+            fn = len(frontier)
+            ar = np.arange(fn)
+            # --- split each node into <= 8 clusters: repeatedly split the
+            # splittable cluster (interior subtree, > LEAF8 tris) with the
+            # largest surface area. cl: (F, 8), -1 = empty.
+            cl = np.full((fn, 8), -1, np.int64)
+            cl[:, 0] = frontier
+            cnt = np.ones(fn, np.int64)
+            for _ in range(7):
+                cls = np.clip(cl, 0, None)
+                can = (cl >= 0) & (subtree_n[cls] > LEAF8)
+                sa_c = np.where(can, sa[cls], -np.inf)
+                j = np.argmax(sa_c, axis=1)
+                do = can[ar, j] & (cnt < 8)
+                node = cl[ar, j]
+                sel = ar[do]
+                cl[sel, j[do]] = node[do] + 1        # first child
+                cl[sel, cnt[do]] = off[node[do]]     # second child
+                cnt[do] += 1
+            have = cl >= 0
+            cls = np.clip(cl, 0, None)
+            # --- slot assignment by centroid octant vs node center, with
+            # nearest-free-by-XOR fallback (same policy as the recursive
+            # original: clusters in array order, candidates by hamming)
+            centers = 0.5 * (bmin[cls] + bmax[cls])          # (F, 8, 3)
+            nc = 0.5 * (bmin[frontier] + bmax[frontier])     # (F, 3)
+            prefs = ((centers[..., 0] > nc[:, None, 0]) * 4
+                     + (centers[..., 1] > nc[:, None, 1]) * 2
+                     + (centers[..., 2] > nc[:, None, 2])).astype(np.int64)
+            taken = np.zeros((fn, 8), bool)
+            slots = np.full((fn, 8), -1, np.int64)
+            for i in range(8):
+                assigned = np.full(fn, -1, np.int64)
+                for rank in range(8):
+                    cand = _ORDER_TAB[prefs[:, i], rank]
+                    free = (assigned < 0) & have[:, i] & ~taken[ar, cand]
+                    assigned = np.where(free, cand, assigned)
+                    taken[ar[free], cand[free]] = True
+                slots[:, i] = assigned
+            # --- emit this level's interior rows
+            bases = alloc + 8 * ar
+            alloc += 8 * fn
+            rows_i = np.zeros((fn, W8), np.float32)
+            rows_i[:, 0:48] = np.inf  # empty slots: +inf boxes
+            sel = slots[have]
+            src = cl[have]
+            fi = np.broadcast_to(ar[:, None], (fn, 8))[have]
+            for comp, arr in enumerate((bmin[src][:, 0], bmin[src][:, 1],
+                                        bmin[src][:, 2], bmax[src][:, 0],
+                                        bmax[src][:, 1], bmax[src][:, 2])):
+                rows_i[fi, 8 * comp + sel] = arr
+            rows_i[:, 48] = bases.astype(np.float32)
+            idx_chunks.append(frontier_rows)
+            val_chunks.append(rows_i)
+            # --- children: leaves emit now, interiors join the frontier
+            child_rows = bases[fi] + sel
+            is_leaf_c = subtree_n[src] <= LEAF8
+            leaf_nodes = src[is_leaf_c]
+            if len(leaf_nodes):
+                idx_chunks.append(child_rows[is_leaf_c])
+                val_chunks.append(leaf_rows_vec(leaf_nodes))
+            frontier = src[~is_leaf_c]
+            frontier_rows = child_rows[~is_leaf_c]
+            if len(frontier):
+                depth += 1
 
-    table = np.stack(rows)
+    table = np.zeros((alloc, W8), np.float32)
+    table[np.concatenate(idx_chunks)] = np.concatenate(val_chunks)
     assert table.shape[0] < (1 << 24), "row refs must stay exact in f32"
     assert len(p0r) < (1 << 24), "leaf tri ids must stay exact in f32"
-    assert max_depth[0] < STACK8, f"BVH8 depth {max_depth[0]} >= {STACK8}"
-    return table, max_depth[0]
+    assert depth < STACK8, f"BVH8 depth {depth} >= {STACK8}"
+    return table, depth
 
 
 # --------------------------------------------------------------------------
@@ -265,6 +279,10 @@ def bvh8_intersect(table, o, d, t_max, any_hit: bool = False,
                        t_max)
     bitvals = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], i32)
     mask0 = jnp.sum(root_hits.astype(i32) * bitvals[None, :], axis=1)
+    # dead-on-entry: t_max <= 0 lanes start with no work, so a chunk of
+    # all-dead lanes (compaction sorts them together) exits its while_loop
+    # without one iteration
+    mask0 = jnp.where(t_max > 0.0, mask0, 0)
     base0 = jnp.broadcast_to(root[48].astype(i32), (n,))
 
     state = dict(
@@ -368,15 +386,21 @@ def bvh8_intersect(table, o, d, t_max, any_hit: bool = False,
 
 
 def bvh8_intersect_chunked(table, o, d, t_max, chunks: int = 4,
-                           any_hit: bool = False):
+                           any_hit: bool = False,
+                           count_steps: bool = False):
     """Independent sub-wave loops (the TPU runtime overlaps them; see
-    bvh.bvh_intersect_chunked)."""
+    bvh.bvh_intersect_chunked). Each chunk's while_loop trips to its own
+    slowest lane, so rays pre-sorted by expected cost (and dead lanes
+    pushed to tail chunks) cut total iterations. count_steps (closest-hit
+    only) adds per-lane iteration counts for use as the next sort key."""
     n = o.shape[0]
     if chunks <= 1 or n < 4096 * chunks or n % chunks != 0:
-        return bvh8_intersect(table, o, d, t_max, any_hit=any_hit)
+        return bvh8_intersect(table, o, d, t_max, any_hit=any_hit,
+                              count_steps=count_steps and not any_hit)
     c = n // chunks
     outs = [bvh8_intersect(table, o[i * c:(i + 1) * c], d[i * c:(i + 1) * c],
-                           t_max[i * c:(i + 1) * c], any_hit=any_hit)
+                           t_max[i * c:(i + 1) * c], any_hit=any_hit,
+                           count_steps=count_steps and not any_hit)
             for i in range(chunks)]
     if any_hit:
         return jnp.concatenate(outs)

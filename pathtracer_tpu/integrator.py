@@ -93,7 +93,7 @@ class PathConfig:
     mis_mode: str = "ref"
 
 
-def _scene_intersect_raw(scene, o, d, t_max):
+def _scene_intersect_raw(scene, o, d, t_max, count_steps=False):
     if scene.bvh is not None:
         # Alpha masks are tested INLINE (exact, no retry cap) —
         # shape.rs:228-244 semantics. Masked triangles (typically ~1% of a
@@ -104,16 +104,21 @@ def _scene_intersect_raw(scene, o, d, t_max):
         # alpha BVH on the Sponza ivy). Order: alpha set first — its hit
         # t prunes the expensive main traversal.
         if not scene.split_alpha:
-            return _main_closest(scene, o, d, t_max)
+            return _main_closest(scene, o, d, t_max,
+                                 count_steps=count_steps)
         hit_a = _alpha_set_intersect(scene, o, d, t_max)
         t2 = jnp.where(hit_a["valid"], hit_a["t"], t_max)
-        hit = _main_closest(scene, o, d, t2)
+        hit = _main_closest(scene, o, d, t2, count_steps=count_steps)
         # hit.valid implies t2-pruned, i.e. closer than the alpha hit
         c = hit["valid"]
-        return dict(valid=c | hit_a["valid"],
-                    t=jnp.where(c, hit["t"], hit_a["t"]),
-                    tri=jnp.where(c, hit["tri"], hit_a["tri"]),
-                    b=jnp.where(c[:, None], hit["b"], hit_a["b"]))
+        out = dict(valid=c | hit_a["valid"],
+                   t=jnp.where(c, hit["t"], hit_a["t"]),
+                   tri=jnp.where(c, hit["tri"], hit_a["tri"]),
+                   b=jnp.where(c[:, None], hit["b"], hit_a["b"]))
+        if "steps" in hit:
+            out["steps"] = hit["steps"]  # main-tree cost only (dense
+            # alpha cost is lane-uniform, useless as a sort key)
+        return out
     if scene.use_pallas:
         from .ops.pallas.intersect_pl import intersect_pallas
         return intersect_pallas(o, d, t_max, scene.tri_pack)
@@ -121,14 +126,17 @@ def _scene_intersect_raw(scene, o, d, t_max):
                            scene.data.p2)
 
 
-def _main_closest(scene, o, d, t_max):
+def _main_closest(scene, o, d, t_max, count_steps=False):
     """Closest hit against the main tree: 8-wide row traversal
     (accel/bvh8, one 64-float gather per step + register stack) when
     available, else unified binary rows (accel/bvh2), else the classic
-    flattened-node path (with inline alpha when unsplit)."""
+    flattened-node path (with inline alpha when unsplit). count_steps
+    (b8 path only) adds per-lane traversal iteration counts to the hit
+    dict — the cost key the wavefront sort uses next bounce."""
     if scene.b8_rows is not None:
         from .accel.bvh8 import bvh8_intersect_chunked
-        return bvh8_intersect_chunked(scene.b8_rows, o, d, t_max)
+        return bvh8_intersect_chunked(scene.b8_rows, o, d, t_max,
+                                      count_steps=count_steps)
     if scene.u_rows is not None:
         from .accel.bvh2 import bvh2_intersect_chunked
         return bvh2_intersect_chunked(scene.u_rows, scene.u_root,
@@ -159,10 +167,100 @@ def _main_anyhit(scene, o, d, t_max):
                          else scene.alpha_texels)
 
 
+def _alpha_b8_closest(scene, o, d, t_max):
+    """Closest UN-CUT hit in the alpha subset: small 8-wide tree treating
+    masked tris as opaque + bounded re-spawn retries for hits that land on
+    zero-alpha texels (the reference walks masked layers inline,
+    shape.rs:228-244; foliage cut rate makes retries rare). Returned t is
+    the ACCUMULATED distance from the original origin (re-spawn offsets
+    make it approximate at ~1e-4 relative — used only to prune the main
+    traversal; shading recomputes p from barycentrics)."""
+    from .accel.bvh8 import bvh8_intersect
+
+    def isect(o_, t_):
+        h = bvh8_intersect(scene.b8a_rows, o_, d, t_)
+        h["tri"] = jnp.where(
+            h["valid"],
+            scene.b8a_map[jnp.maximum(h["tri"], 0)], 0)
+        return h
+
+    hit = isect(o, t_max)
+    cut, p_hit, p_err, ng = _alpha_cut(scene, hit)
+    t_base = jnp.zeros_like(t_max)
+
+    def cond(st):
+        return (st[0] < ALPHA_RETRIES) & jnp.any(st[5])
+
+    def body(st):
+        k, o_c, t_rem, t_base, hit, cut, p_hit, p_err, ng = st
+        o_c = jnp.where(cut[..., None], ia.spawn_ray(p_hit, p_err, ng, d),
+                        o_c)
+        t_base = jnp.where(cut, t_base + hit["t"], t_base)
+        t_rem = jnp.where(cut, jnp.maximum(t_rem - hit["t"], 0.0), t_rem)
+        hit2 = isect(o_c, t_rem)
+        hit = {key: jnp.where(
+            cut.reshape(cut.shape + (1,) * (hit[key].ndim - 1)),
+            hit2[key], hit[key]) for key in hit}
+        cut, p_hit, p_err, ng = _alpha_cut(scene, hit)
+        return k + 1, o_c, t_rem, t_base, hit, cut, p_hit, p_err, ng
+
+    st = jax.lax.while_loop(cond, body, (jnp.int32(0), o, t_max, t_base,
+                                         hit, cut, p_hit, p_err, ng))
+    t_base, hit, cut = st[3], dict(st[4]), st[5]
+    hit["valid"] = hit["valid"] & ~cut
+    hit["t"] = jnp.where(hit["valid"], t_base + hit["t"], 0.0)
+    return hit
+
+
+def _alpha_b8_anyhit(scene, o, d, t_max):
+    """Occlusion against the alpha subset via the 8-wide tree: closest
+    hits walked past cut layers (same structure as _scene_intersect_p's
+    retry loop)."""
+    from .accel.bvh8 import bvh8_intersect
+
+    def isect(o_, t_):
+        h = bvh8_intersect(scene.b8a_rows, o_, d, t_)
+        h["tri"] = jnp.where(
+            h["valid"], scene.b8a_map[jnp.maximum(h["tri"], 0)], 0)
+        return h
+
+    hit = isect(o, t_max)
+    cut, p_hit, p_err, ng = _alpha_cut(scene, hit)
+    occluded = hit["valid"] & ~cut
+    searching = cut
+
+    def cond(st):
+        return (st[0] < ALPHA_RETRIES) & jnp.any(st[2])
+
+    def body(st):
+        k, occluded, searching, o_c, t_rem, t_hit, p_hit, p_err, ng = st
+        o_c = jnp.where(searching[..., None],
+                        ia.spawn_ray(p_hit, p_err, ng, d), o_c)
+        t_rem = jnp.where(searching, jnp.maximum(t_rem - t_hit, 0.0), t_rem)
+        hit = isect(o_c, t_rem)
+        cut, p_hit, p_err, ng = _alpha_cut(scene, hit)
+        occluded = occluded | (searching & hit["valid"] & ~cut)
+        searching = searching & cut
+        return (k + 1, occluded, searching, o_c, t_rem, hit["t"], p_hit,
+                p_err, ng)
+
+    st = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), occluded, searching, o, t_max, hit["t"],
+                     p_hit, p_err, ng))
+    # retries exhausted: remaining cut layers read as opaque (bounded
+    # deviation, same as the non-BVH path)
+    return st[1] | st[2]
+
+
 def _alpha_set_intersect(scene, o, d, t_max, any_hit=False):
-    """Closest (or any) hit against the split-out alpha-masked subset,
-    dense when small (intersect_alpha_dense) or via the dedicated tree."""
+    """Closest (or any) hit against the split-out alpha-masked subset:
+    8-wide tree + retries when large (b8a), dense when small
+    (intersect_alpha_dense), or the dedicated binary tree."""
     from .accel.bvh import _alpha_test_inline, bvh_intersect
+    if scene.b8a_rows is not None:
+        if any_hit:
+            return _alpha_b8_anyhit(scene, o, d, t_max)
+        return _alpha_b8_closest(scene, o, d, t_max)
     if scene.bvh_alpha is not None:
         return bvh_intersect(scene.bvh_alpha, scene.tri_pack, o, d, t_max,
                              any_hit=any_hit, alpha_pack=scene.alpha_pack,
@@ -210,8 +308,9 @@ def _alpha_cut(scene, hit):
     return cut, p_hit, p_err, rows[:, TA_NG0]
 
 
-def _scene_intersect(scene, o, d, t_max):
-    hit = _scene_intersect_raw(scene, o, d, t_max)
+def _scene_intersect(scene, o, d, t_max, count_steps=False):
+    hit = _scene_intersect_raw(scene, o, d, t_max,
+                               count_steps=count_steps)
     if not scene.has_alpha or scene.bvh is not None:
         return hit  # BVH scenes test alpha inline during traversal
     # early-exit retry loop: most waves have no cut lanes after the first
@@ -334,6 +433,13 @@ class TracedScene:
     # 8-wide main-tree layout (accel/bvh8): 64-float rows, register short
     # stack — ~3x fewer row gathers than bvh2; preferred when present
     b8_rows: Any = None  # (R, 64)
+    # 8-wide tree over the split-out alpha subset (masked tris treated
+    # opaque; cut hits re-spawn) + local->global tri id map. Replaces the
+    # dense (N x A) pass when the subset is big enough that broadcasting
+    # loses to ~tree-depth row gathers (measured 89 ms vs ~3 ms at
+    # A=1320, 65k lanes)
+    b8a_rows: Any = None  # (Ra, 64)
+    b8a_map: Any = None   # (A,) i32
 
     @staticmethod
     def create(scene_data, use_bvh: bool | None = None,
@@ -429,10 +535,21 @@ class TracedScene:
             t8, _depth8 = bvh8_from_binary(bvh, p0r[:n_main], p1r[:n_main],
                                            p2r[:n_main])
             b8_rows = jnp.asarray(t8)
+        b8a_rows = None
+        b8a_map = None
+        if b8_rows is not None and split_alpha and n_alpha > 512:
+            from .accel.bvh8 import build_bvh8
+            p0a = _np.asarray(scene_data.p0)[n_opaque:]
+            p1a = _np.asarray(scene_data.p1)[n_opaque:]
+            p2a = _np.asarray(scene_data.p2)[n_opaque:]
+            t8a, order_a, _d = build_bvh8(p0a, p1a, p2a)
+            b8a_rows = jnp.asarray(t8a)
+            b8a_map = jnp.asarray(n_opaque + order_a, jnp.int32)
         return TracedScene(
             scene_data, bvh, use_pallas, mat_set, has_nm,
             split_alpha=split_alpha, n_opaque=n_opaque, bvh_alpha=bvh_alpha,
             u_rows=u_rows, u_root=u_root, b8_rows=b8_rows,
+            b8a_rows=b8a_rows, b8a_map=b8a_map,
             tri_pack=pack_triangles(scene_data.p0, scene_data.p1,
                                     scene_data.p2),
             alpha_pack=a_pack, alpha_texels=a_texels,
@@ -453,7 +570,7 @@ jax.tree_util.register_pytree_node(
     TracedScene,
     lambda s: ((s.data, s.bvh, s.tri_attr, s.light_attr, s.mat_attr,
                 s.tri_pack, s.alpha_pack, s.alpha_texels, s.bvh_alpha,
-                s.u_rows, s.b8_rows),
+                s.u_rows, s.b8_rows, s.b8a_rows, s.b8a_map),
                (s.use_pallas, s.mat_set, s.has_normal_maps, s.has_tex,
                 s.has_env, s.n_lights, s.light_set, s.has_alpha,
                 s.split_alpha, s.n_opaque, s.u_root)),
@@ -462,6 +579,7 @@ jax.tree_util.register_pytree_node(
         tri_attr=kids[2], light_attr=kids[3], mat_attr=kids[4],
         tri_pack=kids[5], alpha_pack=kids[6], alpha_texels=kids[7],
         bvh_alpha=kids[8], u_rows=kids[9], b8_rows=kids[10],
+        b8a_rows=kids[11], b8a_map=kids[12],
         has_tex=aux[3], has_env=aux[4], n_lights=aux[5], light_set=aux[6],
         has_alpha=aux[7], split_alpha=aux[8], n_opaque=aux[9],
         u_root=aux[10]),
@@ -600,6 +718,16 @@ def trace_wave(scene, cfg: PathConfig, draw, draw2, o, d,
     occupancy = []  # live-lane count per bounce (queue-occupancy counter)
     stride = _bounce_stride(cfg, scene.n_lights)
 
+    # Wavefront compaction (static shapes preserved): the b8 traversal
+    # kills t_max<=0 lanes on ENTRY, so (a) RR-killed/escaped lanes stop
+    # costing traversal iterations, and (b) for big trees lanes are
+    # SORTED by last bounce's traversal step count (dead lanes last, a
+    # strong predictor of this bounce's cost) so each sub-wave chunk's
+    # while_loop trips to a similar bound instead of the global max.
+    compact = scene.b8_rows is not None
+    sort_waves = compact and scene.b8_rows.shape[0] >= 4096
+    prev_steps = jnp.zeros((n,), jnp.int32)
+
     for bounce in range(cfg.max_depth + 1):
         last = bounce == cfg.max_depth
         dim_base = 2 + stride * bounce
@@ -608,7 +736,23 @@ def trace_wave(scene, cfg: PathConfig, draw, draw2, o, d,
         if cfg.count_occupancy:
             occupancy.append(n_live)
         rays = rays + n_live
-        hit = _scene_intersect(scene, o, d, jnp.full((n,), jnp.inf, f32))
+        if compact:
+            t_in = jnp.where(active, jnp.inf, 0.0).astype(f32)
+            if sort_waves and bounce > 0:
+                key = jnp.where(active, prev_steps, jnp.int32(1 << 30))
+                perm = jnp.argsort(key)
+                hit_p = _scene_intersect(scene, o[perm], d[perm],
+                                         t_in[perm], count_steps=True)
+                inv = jnp.argsort(perm)
+                hit = {k: v[inv] for k, v in hit_p.items()}
+            else:
+                hit = _scene_intersect(scene, o, d, t_in,
+                                       count_steps=sort_waves)
+            if sort_waves:
+                prev_steps = hit.pop("steps")
+        else:
+            hit = _scene_intersect(scene, o, d,
+                                   jnp.full((n,), jnp.inf, f32))
         found = hit["valid"] & active
 
         # emitted radiance. "ref" mode: camera/specular bounces only

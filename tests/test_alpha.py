@@ -118,3 +118,59 @@ def test_cutout_render_shadows():
     left = mid[:, 8:20].mean()
     right = mid[:, 28:40].mean()
     assert left > 2.0 * right, (left, right)
+
+
+def test_alpha_b8_tree_matches_brute():
+    """Big alpha sets (> 512 tris) route through the 8-wide alpha tree +
+    re-spawn retries (integrator._alpha_b8_closest/_anyhit); hits and
+    occlusion must match the non-BVH brute retry path on stacked
+    checkerboard cutout sheets."""
+    rng = np.random.default_rng(7)
+    b = SceneBuilder()
+    floor = b.add_material(mtype=MAT_MATTE, kd=(0.8, 0.8, 0.8))
+    leaf_m = b.add_material(mtype=MAT_MATTE, kd=(0.2, 0.8, 0.2))
+    alpha = np.zeros((4, 4), np.float32)
+    alpha[::2, ::2] = 1.0
+    alpha[1::2, 1::2] = 1.0
+    a_txd = b.add_texture_image(np.repeat(alpha[..., None], 3, -1))
+    fpos = np.array([[-12, 0, -12], [12, 0, -12], [12, 0, 12], [-12, 0, 12]],
+                    np.float32)
+    idx = np.array([[0, 1, 2], [0, 2, 3]])
+    uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    b.add_mesh(fpos, idx, None, uv, floor)
+    # 18x18 grid of masked quads on two stacked sheets -> 648 alpha tris
+    for gy, height in ((0, 1.0), (1, 1.55)):
+        for i in range(18):
+            for j in range(9):
+                cx = -9.0 + i + 0.3 * gy
+                cz = -9.0 + 2 * j + 0.2 * gy
+                q = np.array([[cx, height, cz], [cx + 1, height, cz],
+                              [cx + 1, height, cz + 1], [cx, height, cz + 1]],
+                             np.float32)
+                b.add_mesh(q, idx, None, uv, leaf_m, alpha_txd=a_txd)
+    sd = b.build()
+    ts_tree = TracedScene.create(sd)
+    assert ts_tree.b8a_rows is not None, "alpha set must route to the tree"
+    ts_brute = TracedScene.create(sd, use_bvh=False, use_pallas=False)
+
+    n = 128
+    o = jnp.asarray(np.stack([rng.uniform(-8, 8, n),
+                              np.full(n, 3.0),
+                              rng.uniform(-8, 8, n)], -1), jnp.float32)
+    d = jnp.asarray(np.tile([0.0, -1.0, 0.0], (n, 1)), jnp.float32)
+    t_inf = jnp.full((n,), np.inf, jnp.float32)
+    h_t = _scene_intersect(ts_tree, o, d, t_inf)
+    h_b = _scene_intersect(ts_brute, o, d, t_inf)
+    np.testing.assert_array_equal(np.asarray(h_t["valid"]),
+                                  np.asarray(h_b["valid"]))
+    np.testing.assert_array_equal(np.asarray(h_t["tri"]),
+                                  np.asarray(h_b["tri"]))
+    # shadow feelers from the floor up through the sheets
+    o2 = jnp.asarray(np.stack([rng.uniform(-8, 8, n),
+                               np.full(n, 0.01),
+                               rng.uniform(-8, 8, n)], -1), jnp.float32)
+    d2 = jnp.asarray(np.tile([0.0, 1.0, 0.0], (n, 1)), jnp.float32)
+    t2 = jnp.full((n,), 5.0, jnp.float32)
+    p_t = _scene_intersect_p(ts_tree, o2, d2, t2)
+    p_b = _scene_intersect_p(ts_brute, o2, d2, t2)
+    np.testing.assert_array_equal(np.asarray(p_t), np.asarray(p_b))

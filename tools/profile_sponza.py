@@ -67,6 +67,20 @@ timed("any-hit     (split)      ",
       jax.jit(lambda o, d: _scene_intersect_p(
           scene, o, d, jnp.full((N,), 100.0, jnp.float32))), o, d)
 
+from pathtracer_tpu.integrator import _alpha_set_intersect, _main_closest  # noqa
+if scene.split_alpha:
+    timed("alpha-set closest        ",
+          jax.jit(lambda o, d: _alpha_set_intersect(scene, o, d, t_inf)),
+          o, d)
+if scene.b8_rows is not None:
+    timed("b8 main closest (chunk4) ",
+          jax.jit(lambda o, d: _main_closest(scene, o, d, t_inf)), o, d)
+    from pathtracer_tpu.accel.bvh8 import bvh8_intersect_chunked
+    for ch in (1, 8, 16):
+        timed(f"b8 main closest (chunk{ch:<2d})",
+              jax.jit(lambda o, d, ch=ch: bvh8_intersect_chunked(
+                  scene.b8_rows, o, d, t_inf, chunks=ch)), o, d)
+
 
 def wave(cfg, sc):
     return jax.jit(lambda o, d: trace_wave(
