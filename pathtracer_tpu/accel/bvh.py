@@ -330,6 +330,13 @@ def bvh_intersect(bvh: BVHArrays, tri_pack, o, d, t_max,
     """
     n = o.shape[0]
     f32 = jnp.float32
+    # pack tables may arrive as host numpy (scene build is host-side;
+    # direct test callers skip TracedScene.create's one device push)
+    tri_pack = jnp.asarray(tri_pack)
+    if alpha_pack is not None:
+        alpha_pack = jnp.asarray(alpha_pack)
+    if alpha_texels is not None:
+        alpha_texels = jnp.asarray(alpha_texels)
     inv_d = 1.0 / d
     neg = d < 0.0
     rows = jnp.arange(n)

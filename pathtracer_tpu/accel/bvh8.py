@@ -269,6 +269,7 @@ def bvh8_intersect(table, o, d, t_max, any_hit: bool = False,
     n = o.shape[0]
     f32 = jnp.float32
     i32 = jnp.int32
+    table = jnp.asarray(table)  # host numpy when called outside TracedScene
     inv_d = 1.0 / d
     oct_ = ((d[:, 0] < 0).astype(i32) * 4 + (d[:, 1] < 0).astype(i32) * 2
             + (d[:, 2] < 0).astype(i32))

@@ -211,8 +211,11 @@ def intersect_pallas(o, d, t_max, tri_pack, any_hit: bool = False,
                 b=jnp.stack([b0, b1, b2], axis=-1))
 
 
-def pack_triangles(p0, p1, p2) -> jnp.ndarray:
-    """(F, 12) f32 rows: [p0.xyz p1.xyz p2.xyz 0 0 0] (VMEM-friendly pad)."""
-    f = p0.shape[0]
-    return jnp.concatenate(
-        [p0, p1, p2, jnp.zeros((f, 3), jnp.float32)], axis=-1)
+def pack_triangles(p0, p1, p2) -> np.ndarray:
+    """(F, 12) f32 rows: [p0.xyz p1.xyz p2.xyz 0 0 0] (VMEM-friendly pad).
+
+    Host numpy (create-time); TracedScene.create device-pushes once."""
+    return np.concatenate(
+        [np.asarray(p0, np.float32), np.asarray(p1, np.float32),
+         np.asarray(p2, np.float32),
+         np.zeros((np.asarray(p0).shape[0], 3), np.float32)], axis=-1)

@@ -112,7 +112,11 @@ class SceneData:
 
 
 def _as_f32(x):
-    return jnp.asarray(np.asarray(x, np.float32))
+    # HOST numpy: SceneData stays host-side through the whole build;
+    # TracedScene.create pushes every leaf to the device ONCE at the end
+    # (per-field device pulls/pushes each cost an axon-tunnel roundtrip —
+    # measured ~100 s of a 123.6k-tri TracedScene.create on TPU)
+    return np.asarray(x, np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -215,11 +219,11 @@ def pack_alpha_tri(sd: "SceneData"):
     rows[:, AP_H] = h0
     rows[:, AP_WRAP] = wrap
     rows[:, AP_FLAG] = (alpha >= 0).astype(np.float32)
-    texels = jnp.asarray(np.asarray(pool.data)[:, 0])
-    return jnp.asarray(rows), texels
+    texels = np.asarray(np.asarray(pool.data)[:, 0])
+    return np.asarray(rows), texels
 
 
-def pack_tri_attr(sd: "SceneData") -> jnp.ndarray:
+def pack_tri_attr(sd: "SceneData") -> np.ndarray:
     """(F, 42) packed per-triangle shading attributes (host, build-time).
 
     Precomputes the per-triangle constants of the interaction build
@@ -280,10 +284,10 @@ def pack_tri_attr(sd: "SceneData") -> jnp.ndarray:
         np.asarray(sd.tri_alpha_txd, np.float32)[:, None],
     ], axis=1).astype(np.float32)
     assert cols.shape[1] == TA_WIDTH
-    return jnp.asarray(cols)
+    return np.asarray(cols)
 
 
-def pack_light_attr(sd: "SceneData") -> jnp.ndarray:
+def pack_light_attr(sd: "SceneData") -> np.ndarray:
     """(L, 26) packed light table incl. the area light's triangle data."""
     ltri = np.maximum(np.asarray(sd.light_tri, np.int32), 0)
     cols = np.concatenate([
@@ -299,10 +303,10 @@ def pack_light_attr(sd: "SceneData") -> jnp.ndarray:
         np.asarray(sd.has_normals, np.float32)[ltri][:, None],
     ], axis=1).astype(np.float32)
     assert cols.shape[1] == LA_WIDTH
-    return jnp.asarray(cols)
+    return np.asarray(cols)
 
 
-def pack_mat_attr(sd: "SceneData") -> jnp.ndarray:
+def pack_mat_attr(sd: "SceneData") -> np.ndarray:
     """(M, 20) packed material constant table."""
     cols = np.concatenate([
         np.asarray(sd.mat_type, np.float32)[:, None],
@@ -315,7 +319,7 @@ def pack_mat_attr(sd: "SceneData") -> jnp.ndarray:
         np.asarray(sd.mat_remap, np.float32)[:, None],
     ], axis=1).astype(np.float32)
     assert cols.shape[1] == MA_WIDTH
-    return jnp.asarray(cols)
+    return np.asarray(cols)
 
 
 def reorder_triangles(scene: "SceneData", order: np.ndarray) -> "SceneData":
@@ -330,11 +334,11 @@ def reorder_triangles(scene: "SceneData", order: np.ndarray) -> "SceneData":
     inv = np.empty_like(order)
     inv[order] = np.arange(len(order))
     lt = np.asarray(scene.light_tri)
-    light_tri = jnp.asarray(
-        np.where(lt >= 0, inv[np.maximum(lt, 0)], lt).astype(np.int32))
+    light_tri = np.where(lt >= 0, inv[np.maximum(lt, 0)],
+                         lt).astype(np.int32)
 
     def take(a):
-        return jnp.asarray(np.asarray(a)[order])
+        return np.asarray(a)[order]
 
     return dataclasses.replace(
         scene,
@@ -517,7 +521,8 @@ class SceneBuilder:
             sin_theta = np.sin(np.pi * vs)
             # bilinear sample of luminance
             from ..utils.image import bilinear_sample
-            lum = np.asarray(luminance(jnp.asarray(img)))
+            lum = np.asarray(img, np.float32) @ np.asarray(
+                [0.212671, 0.715160, 0.072169], np.float32)
             samp = bilinear_sample(lum, us, vs)  # (h2, w2)
             func = (samp * sin_theta[:, None]).astype(np.float32)
             dist = Distribution2D.build(func)
@@ -529,7 +534,7 @@ class SceneBuilder:
                 env_marg_cdf=dist.marg_cdf, env_marg_int=dist.marg_int,
                 env_to_world=_as_f32(l2w),
                 world_to_env=_as_f32(np.linalg.inv(l2w)),
-                has_env=jnp.asarray(True),
+                has_env=np.asarray(True),
             )
         else:
             z1 = np.zeros((1, 1), np.float32)
@@ -540,54 +545,54 @@ class SceneBuilder:
                 env_cond_int=_as_f32(np.zeros(1)),
                 env_marg_func=_as_f32(np.zeros(1)),
                 env_marg_cdf=_as_f32(np.zeros(2)),
-                env_marg_int=jnp.float32(0.0),
+                env_marg_int=np.float32(0.0),
                 env_to_world=_as_f32(np.eye(3)),
                 world_to_env=_as_f32(np.eye(3)),
-                has_env=jnp.asarray(False),
+                has_env=np.asarray(False),
             )
 
         has_env = env_fields.pop("has_env")
         return SceneData(
             p0=_as_f32(p[:, 0]), p1=_as_f32(p[:, 1]), p2=_as_f32(p[:, 2]),
             n0=_as_f32(n[:, 0]), n1=_as_f32(n[:, 1]), n2=_as_f32(n[:, 2]),
-            has_normals=jnp.asarray(has_n),
+            has_normals=np.asarray(has_n),
             uv0=_as_f32(uv[:, 0]), uv1=_as_f32(uv[:, 1]), uv2=_as_f32(uv[:, 2]),
-            material_id=jnp.asarray(np.asarray(mat, np.int32)),
-            area_light_id=jnp.asarray(np.asarray(lid, np.int32)),
+            material_id=np.asarray(mat, np.int32),
+            area_light_id=np.asarray(lid, np.int32),
             tri_ng=_as_f32(ng),
-            tri_alpha_txd=jnp.asarray(np.asarray(alpha_txd, np.int32)),
-            mat_type=jnp.asarray([mm["mtype"] for mm in mats], jnp.int32),
+            tri_alpha_txd=np.asarray(alpha_txd, np.int32),
+            mat_type=np.asarray([mm["mtype"] for mm in mats], np.int32),
             mat_kd=_as_f32([mm["kd"] for mm in mats]),
             mat_ks=_as_f32([mm["ks"] for mm in mats]),
             mat_eta=_as_f32([mm["eta"] for mm in mats]),
             mat_k=_as_f32([mm["k"] for mm in mats]),
             mat_rough=_as_f32([mm["rough"] for mm in mats]),
             mat_misc=_as_f32([mm["misc"] for mm in mats]),
-            mat_remap=jnp.asarray([bool(mm["remap"]) for mm in mats]),
-            mat_kd_tx=jnp.asarray([mm["kd_tx"] for mm in mats], jnp.int32),
-            mat_ks_tx=jnp.asarray([mm["ks_tx"] for mm in mats], jnp.int32),
-            mat_metallic_tx=jnp.asarray(
-                [mm["metallic_tx"] for mm in mats], jnp.int32),
-            mat_rough_tx=jnp.asarray(
-                [mm["rough_tx"] for mm in mats], jnp.int32),
-            mat_normal_tx=jnp.asarray(
-                [mm["normal_tx"] for mm in mats], jnp.int32),
-            txd_kind=jnp.asarray([t["kind"] for t in txds], jnp.int32),
+            mat_remap=np.asarray([bool(mm["remap"]) for mm in mats]),
+            mat_kd_tx=np.asarray([mm["kd_tx"] for mm in mats], np.int32),
+            mat_ks_tx=np.asarray([mm["ks_tx"] for mm in mats], np.int32),
+            mat_metallic_tx=np.asarray(
+                [mm["metallic_tx"] for mm in mats], np.int32),
+            mat_rough_tx=np.asarray(
+                [mm["rough_tx"] for mm in mats], np.int32),
+            mat_normal_tx=np.asarray(
+                [mm["normal_tx"] for mm in mats], np.int32),
+            txd_kind=np.asarray([t["kind"] for t in txds], np.int32),
             txd_rgb0=_as_f32([t["rgb0"] for t in txds]),
             txd_rgb1=_as_f32([t["rgb1"] for t in txds]),
             txd_scale=_as_f32([t["scale"] for t in txds]),
             txd_uv=_as_f32([t["uv"] for t in txds]),
-            txd_image=jnp.asarray([t["image"] for t in txds], jnp.int32),
-            txd_channel=jnp.asarray([t["channel"] for t in txds], jnp.int32),
-            txd_srgb=jnp.asarray([bool(t["srgb"]) for t in txds]),
+            txd_image=np.asarray([t["image"] for t in txds], np.int32),
+            txd_channel=np.asarray([t["channel"] for t in txds], np.int32),
+            txd_srgb=np.asarray([bool(t["srgb"]) for t in txds]),
             tex=self.tex_pool.build(),
-            light_type=jnp.asarray([l["ltype"] for l in lights], jnp.int32),
+            light_type=np.asarray([l["ltype"] for l in lights], np.int32),
             light_emit=_as_f32([l["emit"] for l in lights]),
-            light_tri=jnp.asarray([l["tri"] for l in lights], jnp.int32),
+            light_tri=np.asarray([l["tri"] for l in lights], np.int32),
             light_vec=_as_f32([l["vec"] for l in lights]),
             **env_fields,
             world_center=_as_f32(center),
-            world_radius=jnp.float32(radius),
-            n_lights=jnp.int32(len(self.lights)),
+            world_radius=np.float32(radius),
+            n_lights=np.int32(len(self.lights)),
             has_env=has_env,
         )

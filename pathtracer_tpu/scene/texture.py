@@ -127,23 +127,23 @@ class TexturePoolBuilder:
     def build(self) -> TexturePool:
         if not self.chunks:
             data = np.zeros((1, 3), np.float32)
+            # host numpy; TracedScene.create pushes to device once
             return TexturePool(
-                data=jnp.asarray(data),
-                level_offset=jnp.zeros((1, MAX_LEVELS), jnp.int32),
-                level_w=jnp.ones((1, MAX_LEVELS), jnp.int32),
-                level_h=jnp.ones((1, MAX_LEVELS), jnp.int32),
-                n_levels=jnp.ones((1,), jnp.int32),
-                wrap=jnp.zeros((1,), jnp.int32),
+                data=data,
+                level_offset=np.zeros((1, MAX_LEVELS), np.int32),
+                level_w=np.ones((1, MAX_LEVELS), np.int32),
+                level_h=np.ones((1, MAX_LEVELS), np.int32),
+                n_levels=np.ones((1,), np.int32),
+                wrap=np.zeros((1,), np.int32),
             )
         return TexturePool(
-            data=jnp.asarray(np.concatenate(self.chunks)),
-            level_offset=jnp.asarray(np.asarray(self.offsets, np.int32)),
-            level_w=jnp.asarray(np.asarray(self.widths, np.int32)),
-            level_h=jnp.asarray(np.asarray(self.heights, np.int32)),
-            n_levels=jnp.asarray(
-                np.asarray([min(len(o), MAX_LEVELS)
-                            for o in self.offsets], np.int32)),
-            wrap=jnp.asarray(np.asarray(self.wraps, np.int32)),
+            data=np.concatenate(self.chunks),
+            level_offset=np.asarray(self.offsets, np.int32),
+            level_w=np.asarray(self.widths, np.int32),
+            level_h=np.asarray(self.heights, np.int32),
+            n_levels=np.asarray([min(len(o), MAX_LEVELS)
+                                 for o in self.offsets], np.int32),
+            wrap=np.asarray(self.wraps, np.int32),
         )
 
 
