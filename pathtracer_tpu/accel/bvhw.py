@@ -1,0 +1,434 @@
+"""32-wide BVH with 256-float rows: the small-table gather regime.
+
+Measured TPU facts driving this layout (tools/probe_gather_width{,2,3}.py):
+
+- XLA row-gather cost is per ROW, flat in width from 4 to 256 f32.
+- Tables under ~12k rows AND ~12 MB gather at ~7 ns/row/lane; above
+  either bound the cost doubles to ~12-13 ns (cache-regime cliff).
+- Chained (dependent) gathers hit the same rate, so traversal cost is
+  iterations x 7 ns x lanes.
+
+A 32-wide tree with 25-triangle merged leaves holds a 123.6k-tri scene
+in ~7k rows x 1 KB ~= 7 MB — inside the fast regime — and needs ~3
+interior levels, cutting rows-gathered-per-ray by ~4-6x vs the 8-wide
+64-float layout (accel/bvh8) on top of the ~1.7x cheaper gathers.
+
+Layout (one (R, 256) f32 table, self-describing rows):
+
+  INTERIOR row: 32 children's slabs component-major
+      [bminx(32) bminy(32) bminz(32) bmaxx(32) bmaxy(32) bmaxz(32)] = 192
+      [192] base child row, [193] occupancy bits 0-15, [194] bits 16-31
+      (children are stored COMPACTLY in ascending-slot order: child row =
+      base + popcount(occ & ((1 << slot) - 1)) — no empty rows, so the
+      table stays in the small-fast-gather regime)
+      [255] kind = 0
+  LEAF row (max 25 inline triangles):
+      [9*j .. 9*j+9) tri j vertices p0 p1 p2, [225+j] global tri id
+      (-1 pad), [255] kind = 1
+
+Approximate front-to-back ordering generalizes the BVH8 octant trick:
+slots are GROUPED 4-per-octant (slot = octant*4 + sub); children are
+assigned to the group matching their centroid's octant relative to the
+node center, overflowing to the nearest group by XOR hamming distance.
+Traversal builds each node's hit mask directly in PERMUTED bit order
+(bit p = (group XOR ray_octant)*4 + sub), so "next child" is
+count-trailing-zeros — two elementwise ops via population_count — and
+groups are consumed in near-to-far octant order.
+
+Replaces the reference's per-ray recursive BVH::intersect
+(accelerator.rs:358-475) as the TPU device traversal; the host build
+reuses the binary SAH builder (accel/bvh.py, accelerator.rs:206-267
+semantics) and collapses it 32-wide.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.intersect import watertight_hit_diag
+from ..core import math as pm
+from .bvh import build_bvh
+
+BW = 32           # branching
+WW = 256          # row width (f32)
+LEAFW = 25        # max inline triangles per leaf row
+GROUP = BW // 8   # slots per octant group
+STACKW = 10       # collapse asserts depth < STACKW
+
+# candidate octant-group order per preference: groups ranked by hamming
+# distance of (group XOR pref) — nearest-free fallback for full groups
+_GORDER = np.asarray(
+    [sorted(range(8), key=lambda g, p=p: (bin(g ^ p).count("1"), g))
+     for p in range(8)], np.int64)  # (8, 8)
+
+
+def build_bvhw(p0, p1, p2, max_leaf: int = 4):
+    """Triangle soup -> (table (R, 256) f32, order (F,), depth).
+
+    Builds the binary SAH tree (host numpy / C++) and collapses it.
+    Leaf rows index the REORDERED arrays (apply ``order`` first).
+    """
+    b = build_bvh(np.asarray(p0), np.asarray(p1), np.asarray(p2),
+                  min(max_leaf, LEAFW))
+    p0r = np.asarray(p0, np.float32)[b.order]
+    p1r = np.asarray(p1, np.float32)[b.order]
+    p2r = np.asarray(p2, np.float32)[b.order]
+    table, depth = bvhw_from_binary(b, p0r, p1r, p2r)
+    return table, b.order, depth
+
+
+def bvhw_from_binary(b, p0r, p1r, p2r):
+    """Collapse a built binary BVH (accel/bvh.BVHArrays) into the 32-wide
+    row table; same algorithm as accel/bvh8.bvh8_from_binary with the
+    branching, leaf capacity, and octant-group slot policy widened.
+    p0r/p1r/p2r are the triangle vertices ALREADY permuted into
+    ``b.order``. Returns (table (R, 256) f32, depth)."""
+    bmin = np.asarray(b.bounds_min, np.float32)
+    bmax = np.asarray(b.bounds_max, np.float32)
+    off = np.asarray(b.offset, np.int64)
+    npr = np.asarray(b.n_prims, np.int64)
+    p0r = np.asarray(p0r, np.float32)
+    p1r = np.asarray(p1r, np.float32)
+    p2r = np.asarray(p2r, np.float32)
+    assert npr.max(initial=0) <= LEAFW, "binary leaves must fit a leaf row"
+    ext = np.maximum(bmax - bmin, 0.0)
+    sa = (ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2]
+          + ext[:, 2] * ext[:, 0])
+    # subtree (start, count) via pre-order flattening (python lists: numpy
+    # scalar indexing in this 2F loop costs ~10 s at 123k tris)
+    m = len(bmin)
+    npr_l = npr.tolist()
+    off_l = off.tolist()
+    subtree_n = [0] * m
+    subtree_s = [0] * m
+    for i in range(m - 1, -1, -1):
+        if npr_l[i] > 0:
+            subtree_n[i] = npr_l[i]
+            subtree_s[i] = off_l[i]
+        else:
+            subtree_n[i] = subtree_n[i + 1] + subtree_n[off_l[i]]
+            subtree_s[i] = subtree_s[i + 1]
+    subtree_n = np.asarray(subtree_n, np.int64)
+    subtree_s = np.asarray(subtree_s, np.int64)
+
+    def leaf_rows_vec(nodes: np.ndarray) -> np.ndarray:
+        """(K,) node ids (subtree_n <= LEAFW) -> (K, 256) leaf rows."""
+        k = len(nodes)
+        r = np.zeros((k, WW), np.float32)
+        o = subtree_s[nodes]
+        cnt = subtree_n[nodes]
+        for j in range(LEAFW):
+            have = j < cnt
+            tri = np.where(have, o + j, 0)
+            r[:, 9 * j:9 * j + 3] = np.where(have[:, None], p0r[tri], 0.0)
+            r[:, 9 * j + 3:9 * j + 6] = np.where(have[:, None], p1r[tri], 0.0)
+            r[:, 9 * j + 6:9 * j + 9] = np.where(have[:, None], p2r[tri], 0.0)
+            r[:, 9 * LEAFW + j] = np.where(have, tri.astype(np.float32), -1.0)
+        r[:, 255] = 1.0
+        return r
+
+    idx_chunks: list[np.ndarray] = []
+    val_chunks: list[np.ndarray] = []
+    alloc = 1  # row 0 = root
+    depth = 1
+
+    if subtree_n[0] <= LEAFW:
+        # degenerate: whole scene fits one leaf -> root with a single child
+        r = np.zeros(WW, np.float32)
+        r[0:192] = np.inf
+        r[0], r[32], r[64] = bmin[0]
+        r[96], r[128], r[160] = bmax[0]
+        r[192] = np.float32(alloc)
+        r[193] = 1.0  # occupancy: slot 0 only
+        idx_chunks.append(np.asarray([0, alloc], np.int64))
+        val_chunks.append(np.stack([r, leaf_rows_vec(np.asarray([0]))[0]]))
+        alloc += 1
+    else:
+        frontier = np.asarray([0], np.int64)       # binary node ids
+        frontier_rows = np.asarray([0], np.int64)  # their table rows
+        while len(frontier):
+            fn = len(frontier)
+            ar = np.arange(fn)
+            # --- split each node into <= 32 clusters: repeatedly split
+            # the splittable cluster (interior subtree > LEAFW tris) with
+            # the largest surface area. cl: (F, 32), -1 = empty.
+            cl = np.full((fn, BW), -1, np.int64)
+            cl[:, 0] = frontier
+            cnt = np.ones(fn, np.int64)
+            for _ in range(BW - 1):
+                cls = np.clip(cl, 0, None)
+                can = (cl >= 0) & (subtree_n[cls] > LEAFW)
+                sa_c = np.where(can, sa[cls], -np.inf)
+                j = np.argmax(sa_c, axis=1)
+                do = can[ar, j] & (cnt < BW)
+                node = cl[ar, j]
+                sel = ar[do]
+                cl[sel, j[do]] = node[do] + 1        # first child
+                cl[sel, cnt[do]] = off[node[do]]     # second child
+                cnt[do] += 1
+            have = cl >= 0
+            cls = np.clip(cl, 0, None)
+            # --- octant-group slot assignment: pref = centroid octant vs
+            # node center; groups tried in XOR-hamming order, 4 subslots
+            # per group filled in arrival order
+            centers = 0.5 * (bmin[cls] + bmax[cls])          # (F, 32, 3)
+            nc = 0.5 * (bmin[frontier] + bmax[frontier])     # (F, 3)
+            prefs = ((centers[..., 0] > nc[:, None, 0]) * 4
+                     + (centers[..., 1] > nc[:, None, 1]) * 2
+                     + (centers[..., 2] > nc[:, None, 2])).astype(np.int64)
+            used = np.zeros((fn, 8), np.int64)   # filled subslots per group
+            slots = np.full((fn, BW), -1, np.int64)
+            for i in range(BW):
+                assigned = np.full(fn, -1, np.int64)
+                for rank in range(8):
+                    g = _GORDER[prefs[:, i], rank]
+                    free = (assigned < 0) & have[:, i] & (used[ar, g] < GROUP)
+                    assigned = np.where(free, g * GROUP + used[ar, g],
+                                        assigned)
+                    used[ar[free], g[free]] += 1
+                slots[:, i] = assigned
+            # --- emit this level's interior rows (children allocated
+            # COMPACTLY in ascending-slot order; occupancy mask stored)
+            sel = slots[have]
+            src = cl[have]
+            fi = np.broadcast_to(ar[:, None], (fn, BW))[have]
+            occm = np.zeros((fn, BW), bool)
+            occm[fi, sel] = True
+            n_child = occm.sum(axis=1)
+            bases = alloc + np.concatenate(
+                [[0], np.cumsum(n_child)[:-1]]).astype(np.int64)
+            alloc += int(n_child.sum())
+            rank = np.cumsum(occm, axis=1) - occm  # exclusive by-slot rank
+            occ_bits = (occm.astype(np.uint64)
+                        << np.arange(BW, dtype=np.uint64)).sum(axis=1)
+            rows_i = np.zeros((fn, WW), np.float32)
+            rows_i[:, 0:192] = np.inf  # empty slots: +inf boxes
+            for comp, arr in enumerate((bmin[src][:, 0], bmin[src][:, 1],
+                                        bmin[src][:, 2], bmax[src][:, 0],
+                                        bmax[src][:, 1], bmax[src][:, 2])):
+                rows_i[fi, BW * comp + sel] = arr
+            rows_i[:, 192] = bases.astype(np.float32)
+            rows_i[:, 193] = (occ_bits & 0xFFFF).astype(np.float32)
+            rows_i[:, 194] = (occ_bits >> 16).astype(np.float32)
+            idx_chunks.append(frontier_rows)
+            val_chunks.append(rows_i)
+            # --- children: leaves emit now, interiors join the frontier
+            child_rows = bases[fi] + rank[fi, sel]
+            is_leaf_c = subtree_n[src] <= LEAFW
+            leaf_nodes = src[is_leaf_c]
+            if len(leaf_nodes):
+                idx_chunks.append(child_rows[is_leaf_c])
+                val_chunks.append(leaf_rows_vec(leaf_nodes))
+            frontier = src[~is_leaf_c]
+            frontier_rows = child_rows[~is_leaf_c]
+            if len(frontier):
+                depth += 1
+
+    table = np.zeros((alloc, WW), np.float32)
+    table[np.concatenate(idx_chunks)] = np.concatenate(val_chunks)
+    assert table.shape[0] < (1 << 24), "row refs must stay exact in f32"
+    assert len(p0r) < (1 << 24), "leaf tri ids must stay exact in f32"
+    assert depth < STACKW, f"BVH32 depth {depth} >= {STACKW}"
+    return table, depth
+
+
+# --------------------------------------------------------------------------
+# device traversal
+
+
+def _slab32(row, o, inv_d, t_best):
+    """Robust slab test of the 32 child boxes in an interior row.
+
+    (N, 32) bool, gamma(3)-widened (bounds.rs:198-232 semantics); NaN
+    axes from 0*inf are non-constraining like bvh._slab_test."""
+    g = 1.0 + 2.0 * pm.gamma(3)
+    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
+    ix, iy, iz = inv_d[:, 0:1], inv_d[:, 1:2], inv_d[:, 2:3]
+
+    def axis(lo, hi, oc, ic):
+        t0 = (lo - oc) * ic
+        t1 = (hi - oc) * ic
+        nan_ax = jnp.isnan(t0) | jnp.isnan(t1)
+        tn = jnp.where(nan_ax, -jnp.inf, jnp.minimum(t0, t1))
+        tf = jnp.where(nan_ax, jnp.inf, jnp.maximum(t0, t1) * g)
+        return tn, tf
+
+    nx, fx = axis(row[:, 0:32], row[:, 96:128], ox, ix)
+    ny, fy = axis(row[:, 32:64], row[:, 128:160], oy, iy)
+    nz, fz = axis(row[:, 64:96], row[:, 160:192], oz, iz)
+    tn = jnp.maximum(jnp.maximum(nx, ny), nz)
+    tf = jnp.minimum(jnp.minimum(fx, fy), fz)
+    return (tn <= tf) & (tf > 0.0) & (tn < t_best[:, None])
+
+
+def bvhw_intersect(table, o, d, t_max, any_hit: bool = False,
+                   count_steps: bool = False):
+    """Lockstep BVH32 traversal: ONE (N, 256) row gather per iteration.
+
+    table: (R, 256) device table from build_bvhw. Returns the
+    intersect_brute-style hit dict, or (N,) bool occlusion for any_hit.
+    Lanes with t_max <= 0 are dead on entry (wavefront compaction).
+    """
+    n = o.shape[0]
+    f32 = jnp.float32
+    i32 = jnp.int32
+    u32 = jnp.uint32
+    table = jnp.asarray(table)
+    inv_d = 1.0 / d
+    oct_ = ((d[:, 0] < 0).astype(i32) * 4 + (d[:, 1] < 0).astype(i32) * 2
+            + (d[:, 2] < 0).astype(i32))
+    # bit position of slot s in the PERMUTED mask: near octant groups get
+    # the low bits, so next-child = count-trailing-zeros is front-to-back
+    slot_ids = jnp.arange(BW, dtype=i32)[None, :]                  # (1, 32)
+    perm = (jnp.bitwise_xor(slot_ids >> 2, oct_[:, None]) << 2) \
+        | (slot_ids & 3)                                           # (N, 32)
+    bitvals = (jnp.uint32(1) << perm.astype(u32))                  # (N, 32)
+
+    def hits_to_mask(hits):
+        return jnp.sum(jnp.where(hits, bitvals, jnp.uint32(0)), axis=1,
+                       dtype=u32)
+
+    def pop_next(mask):
+        """(slot, mask') of the lowest set PERMUTED bit."""
+        low = mask & (jnp.uint32(0) - mask)           # isolate lowest bit
+        p = jax.lax.population_count(low - 1).astype(i32)  # ctz
+        p = jnp.minimum(p, 31)  # mask==0 lanes: keep shifts defined
+        slot = (jnp.bitwise_xor(p >> 2, oct_) << 2) | (p & 3)
+        return slot, mask & (mask - 1)                # clear lowest bit
+
+    def occ_of(row):
+        return (row[:, 193].astype(u32)
+                | (row[:, 194].astype(u32) << 16))
+
+    root = table[0]
+    root_hits = _slab32(jnp.broadcast_to(root[None, :], (n, WW)), o, inv_d,
+                        t_max)
+    mask0 = hits_to_mask(root_hits)
+    mask0 = jnp.where(t_max > 0.0, mask0, jnp.uint32(0))  # dead on entry
+    base0 = jnp.broadcast_to(root[192].astype(i32), (n,))
+    occ0 = jnp.broadcast_to(
+        root[193].astype(u32) | (root[194].astype(u32) << 16), (n,))
+
+    state = dict(
+        cur_base=base0,
+        cur_mask=mask0,
+        cur_occ=occ0,
+        sb=jnp.zeros((STACKW, n), i32),
+        sm=jnp.zeros((STACKW, n), u32),
+        so=jnp.zeros((STACKW, n), u32),
+        sp=jnp.zeros((n,), i32),
+        t_best=t_max,
+        tri=jnp.zeros((n,), i32),
+        b=jnp.zeros((n, 3), f32),
+        found=jnp.zeros((n,), bool),
+    )
+    if count_steps:
+        state["steps"] = jnp.zeros((n,), i32)
+
+    def live_mask(st):
+        live = (st["cur_mask"] != 0) | (st["sp"] > 0)
+        if any_hit:
+            live = live & ~st["found"]
+        return live
+
+    def body(st):
+        live = live_mask(st)
+        do_pop = (st["cur_mask"] == 0) & (st["sp"] > 0) & live
+        sb, sm, so = st["sb"], st["sm"], st["so"]
+        cur_base = jnp.where(do_pop, sb[0], st["cur_base"])
+        cur_mask = jnp.where(do_pop, sm[0], st["cur_mask"])
+        cur_occ = jnp.where(do_pop, so[0], st["cur_occ"])
+        sb = jnp.where(do_pop[None, :],
+                       jnp.concatenate([sb[1:], sb[:1] * 0], axis=0), sb)
+        sm = jnp.where(do_pop[None, :],
+                       jnp.concatenate([sm[1:], sm[:1] * 0], axis=0), sm)
+        so = jnp.where(do_pop[None, :],
+                       jnp.concatenate([so[1:], so[:1] * 0], axis=0), so)
+        sp = jnp.where(do_pop, st["sp"] - 1, st["sp"])
+        act = live & (cur_mask != 0)
+
+        slot, cur_mask = pop_next(cur_mask)
+        # children are stored compactly: row = base + rank of slot among
+        # the node's occupied slots
+        rank = jax.lax.population_count(
+            cur_occ & ((jnp.uint32(1) << slot.astype(u32))
+                       - jnp.uint32(1))).astype(i32)
+        child = jnp.where(act, cur_base + rank, 0)
+
+        row = table[child]  # THE one gather per iteration
+        is_leaf = row[:, 255] > 0.5
+
+        # --- leaf: 25 inline watertight tests
+        t_best, tri, b, found = st["t_best"], st["tri"], st["b"], st["found"]
+        lact = act & is_leaf
+        for j in range(LEAFW):
+            t_j, b_j, h_j = watertight_hit_diag(
+                o, d, t_best, row[:, 9 * j:9 * j + 3],
+                row[:, 9 * j + 3:9 * j + 6], row[:, 9 * j + 6:9 * j + 9])
+            id_j = row[:, 9 * LEAFW + j].astype(i32)
+            take = lact & h_j & (id_j >= 0)
+            t_best = jnp.where(take, t_j, t_best)
+            tri = jnp.where(take, id_j, tri)
+            b = jnp.where(take[:, None], b_j, b)
+            found = found | take
+
+        # --- interior: slab-test the 32 grandchildren, descend
+        iact = act & ~is_leaf
+        hits = _slab32(row, o, inv_d, t_best) & iact[:, None]
+        new_mask = hits_to_mask(hits)
+        new_base = row[:, 192].astype(i32)
+        new_occ = occ_of(row)
+        descend = iact & (new_mask != 0)
+        push = descend & (cur_mask != 0)
+        sb = jnp.where(push[None, :],
+                       jnp.concatenate([cur_base[None], sb[:-1]], axis=0), sb)
+        sm = jnp.where(push[None, :],
+                       jnp.concatenate([cur_mask[None], sm[:-1]], axis=0), sm)
+        so = jnp.where(push[None, :],
+                       jnp.concatenate([cur_occ[None], so[:-1]], axis=0), so)
+        sp = jnp.where(push, sp + 1, sp)
+        cur_base = jnp.where(descend, new_base, cur_base)
+        cur_mask = jnp.where(descend, new_mask, cur_mask)
+        cur_occ = jnp.where(descend, new_occ, cur_occ)
+
+        out = dict(cur_base=cur_base, cur_mask=cur_mask, cur_occ=cur_occ,
+                   sb=sb, sm=sm, so=so,
+                   sp=sp, t_best=t_best, tri=tri, b=b, found=found)
+        if count_steps:
+            out["steps"] = st["steps"] + live.astype(i32)
+        return out
+
+    final = jax.lax.while_loop(lambda st: jnp.any(live_mask(st)), body,
+                               state)
+    if any_hit:
+        return (final["found"], final["steps"]) if count_steps \
+            else final["found"]
+    valid = final["found"]
+    out = dict(valid=valid, t=jnp.where(valid, final["t_best"], 0.0),
+               tri=final["tri"], b=final["b"])
+    if count_steps:
+        out["steps"] = final["steps"]
+    return out
+
+
+def bvhw_intersect_chunked(table, o, d, t_max, chunks: int = 4,
+                           any_hit: bool = False,
+                           count_steps: bool = False):
+    """Independent sub-wave loops (the TPU runtime overlaps them; see
+    bvh.bvh_intersect_chunked). Rays pre-sorted by expected cost (dead
+    lanes in tail chunks) cut total iterations: each chunk's while_loop
+    trips to its own slowest lane."""
+    n = o.shape[0]
+    if chunks <= 1 or n < 4096 * chunks or n % chunks != 0:
+        return bvhw_intersect(table, o, d, t_max, any_hit=any_hit,
+                              count_steps=count_steps and not any_hit)
+    c = n // chunks
+    outs = [bvhw_intersect(table, o[i * c:(i + 1) * c], d[i * c:(i + 1) * c],
+                           t_max[i * c:(i + 1) * c], any_hit=any_hit,
+                           count_steps=count_steps and not any_hit)
+            for i in range(chunks)]
+    if any_hit:
+        return jnp.concatenate(outs)
+    return {k: jnp.concatenate([h[k] for h in outs]) for k in outs[0]}

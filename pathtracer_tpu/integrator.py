@@ -101,17 +101,20 @@ def _scene_intersect_raw(scene, o, d, t_max, count_steps=False):
         # are SPLIT OUT of the main tree and intersected DENSELY: the
         # (N x A) watertight pass broadcasts the triangles over the VPU
         # with zero per-lane gathers (measured ~20x over a dedicated
-        # alpha BVH on the Sponza ivy). Order: alpha set first — its hit
-        # t prunes the expensive main traversal.
+        # alpha BVH on the Sponza ivy). Order: MAIN tree first — most
+        # rays hit opaque geometry, and that t makes lanes far from
+        # foliage skip the alpha tree (and its cut-retry re-traversals)
+        # entirely; the reverse order gave the main tree a useless inf
+        # entry bound for the ~95% of lanes that miss foliage.
         if not scene.split_alpha:
             return _main_closest(scene, o, d, t_max,
                                  count_steps=count_steps)
-        hit_a = _alpha_set_intersect(scene, o, d, t_max)
-        t2 = jnp.where(hit_a["valid"], hit_a["t"], t_max)
-        hit = _main_closest(scene, o, d, t2, count_steps=count_steps)
-        # hit.valid implies t2-pruned, i.e. closer than the alpha hit
-        c = hit["valid"]
-        out = dict(valid=c | hit_a["valid"],
+        hit = _main_closest(scene, o, d, t_max, count_steps=count_steps)
+        t2 = jnp.where(hit["valid"], hit["t"], t_max)
+        hit_a = _alpha_set_intersect(scene, o, d, t2)
+        # hit_a.valid implies t2-pruned, i.e. closer than the main hit
+        c = ~hit_a["valid"]
+        out = dict(valid=hit["valid"] | hit_a["valid"],
                    t=jnp.where(c, hit["t"], hit_a["t"]),
                    tri=jnp.where(c, hit["tri"], hit_a["tri"]),
                    b=jnp.where(c[:, None], hit["b"], hit_a["b"]))
@@ -127,20 +130,16 @@ def _scene_intersect_raw(scene, o, d, t_max, count_steps=False):
 
 
 def _main_closest(scene, o, d, t_max, count_steps=False):
-    """Closest hit against the main tree: 8-wide row traversal
-    (accel/bvh8, one 64-float gather per step + register stack) when
-    available, else unified binary rows (accel/bvh2), else the classic
-    flattened-node path (with inline alpha when unsplit). count_steps
-    (b8 path only) adds per-lane traversal iteration counts to the hit
-    dict — the cost key the wavefront sort uses next bounce."""
-    if scene.b8_rows is not None:
-        from .accel.bvh8 import bvh8_intersect_chunked
-        return bvh8_intersect_chunked(scene.b8_rows, o, d, t_max,
+    """Closest hit against the main tree: 32-wide row traversal
+    (accel/bvhw, one 256-float gather per step + register stack) when
+    available, else the classic flattened-node path (with inline alpha
+    when unsplit). count_steps (bvhw path only) adds per-lane traversal
+    iteration counts to the hit dict — the cost key the wavefront sort
+    uses next bounce."""
+    if scene.bw_rows is not None:
+        from .accel.bvhw import bvhw_intersect_chunked
+        return bvhw_intersect_chunked(scene.bw_rows, o, d, t_max,
                                       count_steps=count_steps)
-    if scene.u_rows is not None:
-        from .accel.bvh2 import bvh2_intersect_chunked
-        return bvh2_intersect_chunked(scene.u_rows, scene.u_root,
-                                      o, d, t_max)
     from .accel.bvh import bvh_intersect
     return bvh_intersect(scene.bvh, scene.tri_pack, o, d, t_max,
                          alpha_pack=None if scene.split_alpha
@@ -150,14 +149,10 @@ def _main_closest(scene, o, d, t_max, count_steps=False):
 
 
 def _main_anyhit(scene, o, d, t_max):
-    if scene.b8_rows is not None:
-        from .accel.bvh8 import bvh8_intersect_chunked
-        return bvh8_intersect_chunked(scene.b8_rows, o, d, t_max,
+    if scene.bw_rows is not None:
+        from .accel.bvhw import bvhw_intersect_chunked
+        return bvhw_intersect_chunked(scene.bw_rows, o, d, t_max,
                                       any_hit=True)
-    if scene.u_rows is not None:
-        from .accel.bvh2 import bvh2_intersect_chunked
-        return bvh2_intersect_chunked(scene.u_rows, scene.u_root,
-                                      o, d, t_max, any_hit=True)
     from .accel.bvh import bvh_intersect
     return bvh_intersect(scene.bvh, scene.tri_pack, o, d, t_max,
                          any_hit=True,
@@ -167,21 +162,21 @@ def _main_anyhit(scene, o, d, t_max):
                          else scene.alpha_texels)
 
 
-def _alpha_b8_closest(scene, o, d, t_max):
-    """Closest UN-CUT hit in the alpha subset: small 8-wide tree treating
+def _alpha_tree_closest(scene, o, d, t_max):
+    """Closest UN-CUT hit in the alpha subset: small 32-wide tree treating
     masked tris as opaque + bounded re-spawn retries for hits that land on
     zero-alpha texels (the reference walks masked layers inline,
     shape.rs:228-244; foliage cut rate makes retries rare). Returned t is
     the ACCUMULATED distance from the original origin (re-spawn offsets
     make it approximate at ~1e-4 relative — used only to prune the main
     traversal; shading recomputes p from barycentrics)."""
-    from .accel.bvh8 import bvh8_intersect
+    from .accel.bvhw import bvhw_intersect
 
     def isect(o_, t_):
-        h = bvh8_intersect(scene.b8a_rows, o_, d, t_)
+        h = bvhw_intersect(scene.bwa_rows, o_, d, t_)
         h["tri"] = jnp.where(
             h["valid"],
-            scene.b8a_map[jnp.maximum(h["tri"], 0)], 0)
+            scene.bwa_map[jnp.maximum(h["tri"], 0)], 0)
         return h
 
     hit = isect(o, t_max)
@@ -197,7 +192,9 @@ def _alpha_b8_closest(scene, o, d, t_max):
                         o_c)
         t_base = jnp.where(cut, t_base + hit["t"], t_base)
         t_rem = jnp.where(cut, jnp.maximum(t_rem - hit["t"], 0.0), t_rem)
-        hit2 = isect(o_c, t_rem)
+        # non-cut lanes enter dead (t=0): the retry traversal only
+        # re-walks lanes that actually hit a zero-alpha texel
+        hit2 = isect(o_c, jnp.where(cut, t_rem, 0.0))
         hit = {key: jnp.where(
             cut.reshape(cut.shape + (1,) * (hit[key].ndim - 1)),
             hit2[key], hit[key]) for key in hit}
@@ -212,16 +209,16 @@ def _alpha_b8_closest(scene, o, d, t_max):
     return hit
 
 
-def _alpha_b8_anyhit(scene, o, d, t_max):
-    """Occlusion against the alpha subset via the 8-wide tree: closest
+def _alpha_tree_anyhit(scene, o, d, t_max):
+    """Occlusion against the alpha subset via the 32-wide tree: closest
     hits walked past cut layers (same structure as _scene_intersect_p's
     retry loop)."""
-    from .accel.bvh8 import bvh8_intersect
+    from .accel.bvhw import bvhw_intersect
 
     def isect(o_, t_):
-        h = bvh8_intersect(scene.b8a_rows, o_, d, t_)
+        h = bvhw_intersect(scene.bwa_rows, o_, d, t_)
         h["tri"] = jnp.where(
-            h["valid"], scene.b8a_map[jnp.maximum(h["tri"], 0)], 0)
+            h["valid"], scene.bwa_map[jnp.maximum(h["tri"], 0)], 0)
         return h
 
     hit = isect(o, t_max)
@@ -237,7 +234,7 @@ def _alpha_b8_anyhit(scene, o, d, t_max):
         o_c = jnp.where(searching[..., None],
                         ia.spawn_ray(p_hit, p_err, ng, d), o_c)
         t_rem = jnp.where(searching, jnp.maximum(t_rem - t_hit, 0.0), t_rem)
-        hit = isect(o_c, t_rem)
+        hit = isect(o_c, jnp.where(searching, t_rem, 0.0))
         cut, p_hit, p_err, ng = _alpha_cut(scene, hit)
         occluded = occluded | (searching & hit["valid"] & ~cut)
         searching = searching & cut
@@ -254,13 +251,13 @@ def _alpha_b8_anyhit(scene, o, d, t_max):
 
 def _alpha_set_intersect(scene, o, d, t_max, any_hit=False):
     """Closest (or any) hit against the split-out alpha-masked subset:
-    8-wide tree + retries when large (b8a), dense when small
+    32-wide tree + retries when large (bwa), dense when small
     (intersect_alpha_dense), or the dedicated binary tree."""
     from .accel.bvh import _alpha_test_inline, bvh_intersect
-    if scene.b8a_rows is not None:
+    if scene.bwa_rows is not None:
         if any_hit:
-            return _alpha_b8_anyhit(scene, o, d, t_max)
-        return _alpha_b8_closest(scene, o, d, t_max)
+            return _alpha_tree_anyhit(scene, o, d, t_max)
+        return _alpha_tree_closest(scene, o, d, t_max)
     if scene.bvh_alpha is not None:
         return bvh_intersect(scene.bvh_alpha, scene.tri_pack, o, d, t_max,
                              any_hit=any_hit, alpha_pack=scene.alpha_pack,
@@ -325,7 +322,8 @@ def _scene_intersect(scene, o, d, t_max, count_steps=False):
         k, o, t_max, hit, cut, p_hit, p_err, ng = st
         o = jnp.where(cut[..., None], ia.spawn_ray(p_hit, p_err, ng, d), o)
         t_max = jnp.where(cut, jnp.maximum(t_max - hit["t"], 0.0), t_max)
-        hit2 = _scene_intersect_raw(scene, o, d, t_max)
+        hit2 = _scene_intersect_raw(scene, o, d,
+                                    jnp.where(cut, t_max, 0.0))
         hit = {key: jnp.where(
             cut.reshape(cut.shape + (1,) * (hit[key].ndim - 1)),
             hit2[key], hit[key]) for key in hit}
@@ -373,7 +371,8 @@ def _scene_intersect_p(scene, o, d, t_max):
         o = jnp.where(searching[..., None],
                       ia.spawn_ray(p_hit, p_err, ng, d), o)
         t_max = jnp.where(searching, jnp.maximum(t_max - t_hit, 0.0), t_max)
-        hit = _scene_intersect_raw(scene, o, d, t_max)
+        hit = _scene_intersect_raw(scene, o, d,
+                                   jnp.where(searching, t_max, 0.0))
         cut, p_hit, p_err, ng = _alpha_cut(scene, hit)
         occluded = occluded | (searching & hit["valid"] & ~cut)
         searching = searching & cut
@@ -409,6 +408,10 @@ class TracedScene:
     tri_pack: Any = None  # (F, 12) [p0 p1 p2 pad] rows for intersection
     # static: any used material binds a texture (kd/ks/metallic/rough)
     has_tex: bool = True
+    # static per-channel texture presence (kd, ks, metallic, rough):
+    # channels nothing binds compile out of gather_params entirely —
+    # each saved eval_texture is 4-8 texel gathers/lane/bounce
+    tex_channels: tuple = (True, True, True, True)
     # static: environment light present / number of lights / light types
     # present (compile-time specialization: env lookups, NEE and absent
     # light-type branches compile out)
@@ -426,20 +429,18 @@ class TracedScene:
     split_alpha: bool = False
     n_opaque: int = -1  # static: first alpha tri index when split
     bvh_alpha: "BVHArrays | None" = None  # noqa: F821
-    # unified-row main-tree layout (accel/bvh2): one 20-float gather per
-    # traversal step; built whenever the main tree is alpha-free
-    u_rows: Any = None  # (R, 20)
-    u_root: int = 0     # static signed root ref
-    # 8-wide main-tree layout (accel/bvh8): 64-float rows, register short
-    # stack — ~3x fewer row gathers than bvh2; preferred when present
-    b8_rows: Any = None  # (R, 64)
-    # 8-wide tree over the split-out alpha subset (masked tris treated
+    # 32-wide main-tree layout (accel/bvhw): 256-float rows, 25-tri
+    # merged leaves, register short stack. ~7k rows for a 123.6k-tri
+    # scene keeps the table inside the fast-gather regime (<12k rows and
+    # <12 MB, tools/probe_gather_width3.py) — preferred traversal
+    bw_rows: Any = None  # (R, 256)
+    # 32-wide tree over the split-out alpha subset (masked tris treated
     # opaque; cut hits re-spawn) + local->global tri id map. Replaces the
     # dense (N x A) pass when the subset is big enough that broadcasting
     # loses to ~tree-depth row gathers (measured 89 ms vs ~3 ms at
     # A=1320, 65k lanes)
-    b8a_rows: Any = None  # (Ra, 64)
-    b8a_map: Any = None   # (A,) i32
+    bwa_rows: Any = None  # (Ra, 256)
+    bwa_map: Any = None   # (A,) i32
 
     @staticmethod
     def create(scene_data, use_bvh: bool | None = None,
@@ -455,10 +456,11 @@ class TracedScene:
             _np.asarray(scene_data.mat_type)[used_mats].tolist())))
         has_nm = bool(
             (_np.asarray(scene_data.mat_normal_tx)[used_mats] >= 0).any())
-        has_tex = bool(max(
-            (_np.asarray(tx)[used_mats] >= 0).any()
+        tex_channels = tuple(
+            bool((_np.asarray(tx)[used_mats] >= 0).any())
             for tx in (scene_data.mat_kd_tx, scene_data.mat_ks_tx,
-                       scene_data.mat_metallic_tx, scene_data.mat_rough_tx)))
+                       scene_data.mat_metallic_tx, scene_data.mat_rough_tx))
+        has_tex = any(tex_channels)
         if use_bvh is None:
             # pallas brute force (fully unrolled kernel) for tiny scenes;
             # dynamic-indexed triangle loops fault Mosaic (known issue), so
@@ -477,11 +479,6 @@ class TracedScene:
             amask = _np.asarray(scene_data.tri_alpha_txd) >= 0
             n_alpha = int(amask.sum())
             main_leaf = max_leaf
-            if n_alpha == 0 or 0 < n_alpha < f:
-                # the main tree will use the unified-row layout, whose
-                # leaf rows hold up to 2 inline triangles
-                from .accel.bvh2 import LEAF_SIZE
-                main_leaf = min(max_leaf, LEAF_SIZE)
             if 0 < n_alpha < f:
                 # alpha-split: masked tris (typically ~1%, foliage-style
                 # overlapping quads) leave the main tree. Small sets are
@@ -514,42 +511,32 @@ class TracedScene:
         # inline-alpha tables follow BVH triangle order (built post-reorder)
         a_pack, a_texels = (pack_alpha_tri(scene_data) if bvh is not None
                             else (None, None))
-        u_rows = None
-        u_root = 0
-        b8_rows = None
+        bw_rows = None
         if bvh is not None and (n_alpha == 0 or split_alpha):
-            # unified-row layout over the (alpha-free) main tree
-            from .accel.bvh2 import build_unified
+            # 32-wide collapse of the (alpha-free) main tree: one
+            # 256-float row gather/step, 25-tri merged leaves, small table
+            from .accel.bvhw import bvhw_from_binary
             p0r = _np.asarray(scene_data.p0)
             p1r = _np.asarray(scene_data.p1)
             p2r = _np.asarray(scene_data.p2)
-            table, u_root = build_unified(
-                _np.asarray(bvh.bounds_min), _np.asarray(bvh.bounds_max),
-                _np.asarray(bvh.offset), _np.asarray(bvh.n_prims),
-                _np.asarray(bvh.axis), p0r, p1r, p2r)
-            u_rows = jnp.asarray(table)
-            # 8-wide collapse of the same tree (preferred traversal: one
-            # 64-float row gather/step, merged full leaves, register stack)
-            from .accel.bvh8 import bvh8_from_binary
             n_main = n_opaque if split_alpha else f
-            t8, _depth8 = bvh8_from_binary(bvh, p0r[:n_main], p1r[:n_main],
+            tw, _depthw = bvhw_from_binary(bvh, p0r[:n_main], p1r[:n_main],
                                            p2r[:n_main])
-            b8_rows = jnp.asarray(t8)
-        b8a_rows = None
-        b8a_map = None
-        if b8_rows is not None and split_alpha and n_alpha > 512:
-            from .accel.bvh8 import build_bvh8
+            bw_rows = tw  # host; pushed with the one tree_map sweep below
+        bwa_rows = None
+        bwa_map = None
+        if bw_rows is not None and split_alpha and n_alpha > 512:
+            from .accel.bvhw import build_bvhw
             p0a = _np.asarray(scene_data.p0)[n_opaque:]
             p1a = _np.asarray(scene_data.p1)[n_opaque:]
             p2a = _np.asarray(scene_data.p2)[n_opaque:]
-            t8a, order_a, _d = build_bvh8(p0a, p1a, p2a)
-            b8a_rows = jnp.asarray(t8a)
-            b8a_map = jnp.asarray(n_opaque + order_a, jnp.int32)
+            twa, order_a, _d = build_bvhw(p0a, p1a, p2a)
+            bwa_rows = twa
+            bwa_map = _np.asarray(n_opaque + order_a, _np.int32)
         ts = TracedScene(
             scene_data, bvh, use_pallas, mat_set, has_nm,
             split_alpha=split_alpha, n_opaque=n_opaque, bvh_alpha=bvh_alpha,
-            u_rows=u_rows, u_root=u_root, b8_rows=b8_rows,
-            b8a_rows=b8a_rows, b8a_map=b8a_map,
+            bw_rows=bw_rows, bwa_rows=bwa_rows, bwa_map=bwa_map,
             tri_pack=pack_triangles(scene_data.p0, scene_data.p1,
                                     scene_data.p2),
             alpha_pack=a_pack, alpha_texels=a_texels,
@@ -557,6 +544,7 @@ class TracedScene:
             light_attr=pack_light_attr(scene_data),
             mat_attr=pack_mat_attr(scene_data),
             has_tex=has_tex,
+            tex_channels=tex_channels,
             has_env=bool(_np.asarray(scene_data.has_env)),
             n_lights=int(_np.asarray(scene_data.n_lights)),
             light_set=tuple(sorted(set(
@@ -575,19 +563,19 @@ jax.tree_util.register_pytree_node(
     TracedScene,
     lambda s: ((s.data, s.bvh, s.tri_attr, s.light_attr, s.mat_attr,
                 s.tri_pack, s.alpha_pack, s.alpha_texels, s.bvh_alpha,
-                s.u_rows, s.b8_rows, s.b8a_rows, s.b8a_map),
+                s.bw_rows, s.bwa_rows, s.bwa_map),
                (s.use_pallas, s.mat_set, s.has_normal_maps, s.has_tex,
                 s.has_env, s.n_lights, s.light_set, s.has_alpha,
-                s.split_alpha, s.n_opaque, s.u_root)),
+                s.split_alpha, s.n_opaque, s.tex_channels)),
     lambda aux, kids: TracedScene(
         kids[0], kids[1], aux[0], aux[1], aux[2],
         tri_attr=kids[2], light_attr=kids[3], mat_attr=kids[4],
         tri_pack=kids[5], alpha_pack=kids[6], alpha_texels=kids[7],
-        bvh_alpha=kids[8], u_rows=kids[9], b8_rows=kids[10],
-        b8a_rows=kids[11], b8a_map=kids[12],
+        bvh_alpha=kids[8], bw_rows=kids[9],
+        bwa_rows=kids[10], bwa_map=kids[11],
         has_tex=aux[3], has_env=aux[4], n_lights=aux[5], light_set=aux[6],
         has_alpha=aux[7], split_alpha=aux[8], n_opaque=aux[9],
-        u_root=aux[10]),
+        tex_channels=aux[10]),
 )
 
 
@@ -693,10 +681,24 @@ def trace_wave(scene, cfg: PathConfig, draw, draw2, o, d,
     lane alive until max_depth, so the while_loop's early exit bought
     nothing.
     """
-    sd = scene.data
-    n = o.shape[0]
-    f32 = jnp.float32
-    from .scene.scene import LIGHT_AREA, MAT_GLASS, MAT_MIRROR
+    st = _wave_init(scene, cfg, o, d)
+    occupancy = []  # live-lane count per bounce (queue-occupancy counter)
+    for bounce in range(cfg.max_depth + 1):
+        st = _wave_bounce(scene, cfg, bounce, st, draw, draw2,
+                          draw2_arr=draw2_arr,
+                          rxd=rxd if bounce == 0 else None,
+                          ryd=ryd if bounce == 0 else None)
+        if cfg.count_occupancy:
+            occupancy.append(st["n_live"])
+    out, n_bad = _wave_radiance(cfg, st)
+    occ = (jnp.stack(occupancy) if cfg.count_occupancy
+           else jnp.zeros((cfg.max_depth + 1,), jnp.float32))
+    return out, st["rays"], n_bad, occ
+
+
+def _wave_flags(scene, cfg):
+    """Static (compile-time) wave configuration derived from scene + cfg."""
+    from .scene.scene import MAT_GLASS, MAT_MIRROR
     any_nonspec = any(m not in (MAT_MIRROR, MAT_GLASS)
                       for m in scene.mat_set)
     do_nee = any_nonspec and scene.n_lights > 0
@@ -708,226 +710,267 @@ def trace_wave(scene, cfg: PathConfig, draw, draw2, o, d,
     one_sample = cfg.mis_mode == "onesample" and do_nee
     pick_prob = (1.0 / max(scene.n_lights, 1)
                  if cfg.light_strategy == "one" else 1.0)
-
-    l = jnp.zeros((n, 3), f32)
-    beta = jnp.ones((n, 3), f32)
-    active = jnp.ones((n,), bool)
-    # onesample: "specular" doubles as bounce-0 full-weight Le
-    specular = jnp.full((n,), one_sample, bool)
-    eta_scale = jnp.ones((n,), f32)
-    prev_pdf = jnp.zeros((n,), f32)  # BSDF pdf of the ray's direction
-    prev_p = o
-    prev_perr = jnp.zeros((n, 3), f32)
-    prev_ng = jnp.zeros((n, 3), f32)
-    rays = jnp.float32(0.0)
-    occupancy = []  # live-lane count per bounce (queue-occupancy counter)
-    stride = _bounce_stride(cfg, scene.n_lights)
-
-    # Wavefront compaction (static shapes preserved): the b8 traversal
+    # Wavefront compaction (static shapes preserved): the wide traversal
     # kills t_max<=0 lanes on ENTRY, so (a) RR-killed/escaped lanes stop
     # costing traversal iterations, and (b) for big trees lanes are
     # SORTED by last bounce's traversal step count (dead lanes last, a
     # strong predictor of this bounce's cost) so each sub-wave chunk's
     # while_loop trips to a similar bound instead of the global max.
-    compact = scene.b8_rows is not None
-    sort_waves = compact and scene.b8_rows.shape[0] >= 4096
-    prev_steps = jnp.zeros((n,), jnp.int32)
+    compact = scene.bw_rows is not None
+    sort_waves = compact and scene.bw_rows.shape[0] >= 2048
+    return do_nee, one_sample, pick_prob, compact, sort_waves
 
-    for bounce in range(cfg.max_depth + 1):
-        last = bounce == cfg.max_depth
-        dim_base = 2 + stride * bounce
 
-        n_live = jnp.sum(active.astype(f32))
-        if cfg.count_occupancy:
-            occupancy.append(n_live)
-        rays = rays + n_live
-        if compact:
-            t_in = jnp.where(active, jnp.inf, 0.0).astype(f32)
-            if sort_waves and bounce > 0:
-                key = jnp.where(active, prev_steps, jnp.int32(1 << 30))
-                perm = jnp.argsort(key)
-                hit_p = _scene_intersect(scene, o[perm], d[perm],
-                                         t_in[perm], count_steps=True)
-                inv = jnp.argsort(perm)
-                hit = {k: v[inv] for k, v in hit_p.items()}
-            else:
-                hit = _scene_intersect(scene, o, d, t_in,
-                                       count_steps=sort_waves)
-            if sort_waves:
-                prev_steps = hit.pop("steps")
-        else:
-            hit = _scene_intersect(scene, o, d,
-                                   jnp.full((n,), jnp.inf, f32))
-        found = hit["valid"] & active
+def _wave_init(scene, cfg, o, d):
+    """Fresh per-bounce wavefront state for a wave of camera rays."""
+    n = o.shape[0]
+    f32 = jnp.float32
+    _, one_sample, _, _, _ = _wave_flags(scene, cfg)
+    return dict(
+        o=o, d=d,
+        l=jnp.zeros((n, 3), f32),
+        beta=jnp.ones((n, 3), f32),
+        active=jnp.ones((n,), bool),
+        # onesample: "specular" doubles as bounce-0 full-weight Le
+        specular=jnp.full((n,), one_sample, bool),
+        eta_scale=jnp.ones((n,), f32),
+        prev_pdf=jnp.zeros((n,), f32),  # BSDF pdf of the ray's direction
+        prev_p=o,
+        prev_perr=jnp.zeros((n, 3), f32),
+        prev_ng=jnp.zeros((n, 3), f32),
+        prev_steps=jnp.zeros((n,), jnp.int32),
+        rays=jnp.float32(0.0),
+        n_live=jnp.float32(0.0),
+    )
 
-        # emitted radiance. "ref" mode: camera/specular bounces only
-        # (:418-427); "onesample": every vertex, MIS-weighted against the
-        # light-sampling density of the previous vertex (pbrt-v4 form).
-        le_mask = active if bounce == 0 else (active & specular)
-        if last:
-            # only Le survives the final bounce — skip the frame build
-            le_hit, hl = ia.hit_emission(scene.tri_attr, hit, -d)
-        else:
-            it = ia.make_interaction(sd, o, d, hit, scene.tri_attr)
-            # camera-ray differentials -> duvdx/duvdy for mip filter widths
-            # (only the first hit: deeper rays carry no differentials in
-            # the reference either, integrator.rs:449-468 spawn_ray)
-            duv = ia.compute_duv(it, o, rxd, ryd) \
-                if (bounce == 0 and rxd is not None) else None
-            if scene.has_normal_maps:
-                it = ia.apply_normal_mapping(sd, it, duv=duv)
-            le_hit = ia.emitted_radiance(it, -d)
-            hl = it["area_light"]
-        if one_sample:
-            from .ops.gather import take_rows
-            if bounce == 0 or LIGHT_AREA not in scene.light_set:
-                w_area = jnp.ones((n,), f32)
-            else:
-                lrows_h = take_rows(scene.light_attr,
-                                    jnp.maximum(hl, 0))
-                lpdf = lt.pdf_li(sd, lrows_h, prev_p, prev_perr, prev_ng,
-                                 d, light_set=(LIGHT_AREA,)) * pick_prob
-                w_area = jnp.where(specular, 1.0,
-                                   pm.power_heuristic(1.0, prev_pdf,
-                                                      1.0, lpdf))
-            l = l + jnp.where((active & found)[..., None],
-                              beta * le_hit * w_area[..., None], 0.0)
-        else:
-            l = l + jnp.where((le_mask & found)[..., None],
-                              beta * le_hit, 0.0)
-        if scene.has_env:
-            le_env = lt.env_le(sd, d)
-            if one_sample:
-                if bounce == 0:
-                    w_env = jnp.ones((n,), f32)
-                else:
-                    epdf = lt.env_pdf_li(sd, d) * pick_prob
-                    w_env = jnp.where(specular, 1.0,
-                                      pm.power_heuristic(1.0, prev_pdf,
-                                                         1.0, epdf))
-                l = l + jnp.where((active & ~hit["valid"])[..., None],
-                                  beta * le_env * w_env[..., None], 0.0)
-            else:
-                l = l + jnp.where((le_mask & ~hit["valid"])[..., None],
-                                  beta * le_env, 0.0)
-        if last:
-            break
 
-        cont = found
-        mp = bx.gather_params(sd, it["material"], it["uv"],
-                              mat_attr=scene.mat_attr, has_tex=scene.has_tex,
-                              duv=duv)
-        wo = -d
-
-        # --- NEE (:443-447) for materials with non-specular lobes;
-        # statically skipped for specular-only or lightless scenes
-        if do_nee:
-            nonspec = bx.has_nonspecular(mp["mtype"]) & cont
-            shadow_rays = 1.0 if one_sample else 2.0
-            if cfg.light_strategy == "all":
-                # uniform_sample_all_lights (integrator.rs:141-189): one
-                # sample per light, own dim slots, summed (no 1/L scaling)
-                ld = jnp.zeros((n, 3), f32)
-                for li_i in range(scene.n_lights):
-                    db = dim_base + DIMS_PER_BOUNCE + 4 * li_i
-                    if draw2_arr is not None:
-                        # per-sample 2D ARRAYS: the n_lights points form a
-                        # latin-hypercube set (ref get_2d_array fills via
-                        # latin_hyper_cube_2d, integrator.rs:152-153)
-                        u_light = draw2_arr(dim_base + DIMS_PER_BOUNCE,
-                                            li_i, scene.n_lights)
-                        u_scatt = None if one_sample else draw2_arr(
-                            dim_base + DIMS_PER_BOUNCE + 1, li_i,
-                            scene.n_lights)
-                    else:
-                        u_light = draw2(db)
-                        u_scatt = None if one_sample else draw2(db + 2)
-                    idx_i = jnp.full((n,), li_i, jnp.int32)
-                    ld = ld + estimate_direct(scene, cfg, it, mp, u_scatt,
-                                              u_light, idx_i, wo,
-                                              bsdf_branch=not one_sample)
-                l = l + jnp.where(nonspec[..., None], beta * ld, 0.0)
-                rays = rays + shadow_rays * scene.n_lights * \
-                    jnp.sum(nonspec.astype(f32))
-            else:
-                u_light = draw2(dim_base + DIM_U_LIGHT)
-                u_scatt = None if one_sample else \
-                    draw2(dim_base + DIM_U_SCATTER)
-                n_l = np.float32(scene.n_lights)
-                if scene.n_lights > 1:
-                    u_pick = draw(dim_base + DIM_LIGHT_PICK)
-                    light_idx = jnp.minimum((u_pick * n_l).astype(jnp.int32),
-                                            scene.n_lights - 1)
-                else:
-                    light_idx = jnp.zeros((n,), jnp.int32)
-                ld = estimate_direct(scene, cfg, it, mp, u_scatt, u_light,
-                                     light_idx, wo,
-                                     bsdf_branch=not one_sample,
-                                     pick_prob=pick_prob if one_sample
-                                     else 1.0)
-                scale = 1.0 if one_sample else n_l
-                l = l + jnp.where(nonspec[..., None], beta * ld * scale, 0.0)
-                rays = rays + shadow_rays * jnp.sum(nonspec.astype(f32))
-
-        # --- BSDF sampling for the next bounce (:449-468)
-        u_bsdf = draw2(dim_base + DIM_BSDF)
-        wo_l = _to_local(it, wo)
-        bs = bx.sample_f(
-            mp, wo_l, u_bsdf,
-            lambda wi_loc: (pm.dot(_to_world(it, wi_loc), it["ng"])
-                            * pm.dot(wo, it["ng"])) > 0.0,
-            present=scene.mat_set)
-        wi_w = _to_world(it, bs["wi"])
-        cos_ns = jnp.abs(pm.dot(wi_w, it["ns"]))
-        dead = jnp.all(bs["f"] == 0.0, axis=-1) | (bs["pdf"] == 0.0)
-        new_beta = beta * bs["f"] * \
-            (cos_ns / jnp.maximum(bs["pdf"], 1e-20))[..., None]
-        cont2 = cont & ~dead
-        beta = jnp.where(cont2[..., None], new_beta, beta)
-        specular = jnp.where(cont2, bs["specular"], specular)
-        if one_sample:
-            # next vertex's MIS weight needs this vertex's sampling state
-            prev_pdf = jnp.where(cont2, bs["pdf"], prev_pdf)
-            prev_p = jnp.where(cont2[..., None], it["p"], prev_p)
-            prev_perr = jnp.where(cont2[..., None], it["p_error"], prev_perr)
-            prev_ng = jnp.where(cont2[..., None], it["ng"], prev_ng)
-
-        # eta_scale for RR through glass (:471-480); only glass scenes
-        if MAT_GLASS in scene.mat_set and cfg.rr_enable:
-            spec_trans = bs["specular"] & bs["transmission"]
-            eta = mp["eta"]
-            scale = jnp.where(pm.dot(wo, it["ng"]) > 0.0, eta * eta,
-                              1.0 / jnp.maximum(eta * eta, 1e-20))
-            eta_scale = jnp.where(cont2 & spec_trans,
-                                  eta_scale * scale, eta_scale)
-
-        new_o = ia.spawn_ray(it["p"], it["p_error"], it["ng"], wi_w)
-        o = jnp.where(cont2[..., None], new_o, o)
-        d = jnp.where(cont2[..., None], wi_w, d)
-
-        # --- Russian roulette (:486-497): compiles out below start depth
-        if cfg.rr_enable and bounce > cfg.rr_start_depth:
-            rr_beta_max = jnp.max(beta * eta_scale[..., None], axis=-1)
-            rr_gate = cont2 & (rr_beta_max < cfg.rr_threshold)
-            u_rr = draw(dim_base + DIM_RR)
-            q = jnp.maximum(0.05, 1.0 - rr_beta_max)
-            rr_kill = rr_gate & (u_rr < q)
-            beta = jnp.where((rr_gate & ~rr_kill)[..., None],
-                             beta / (1.0 - q)[..., None], beta)
-            cont2 = cont2 & ~rr_kill
-
-        active = cont2
-
-    out = l
-    # numeric-sanity watchdog (ref integrator.rs:581-604 logs NaN/negative/
-    # infinite radiance per sample; here we count and optionally zero them)
+def _wave_radiance(cfg, st):
+    """Final radiance + NaN-watchdog count from a completed wave state
+    (ref integrator.rs:581-604 logs NaN/negative/infinite radiance per
+    sample; here we count and optionally zero them)."""
+    out = st["l"]
     bad = ~jnp.isfinite(out) | (out < -1e-5)
     n_bad = jnp.sum(jnp.any(bad, axis=-1).astype(jnp.float32))
     if cfg.sanitize:
         out = jnp.where(jnp.isfinite(out), out, 0.0)
-    occ = (jnp.stack(occupancy) if cfg.count_occupancy
-           else jnp.zeros((cfg.max_depth + 1,), f32))
-    return out, rays, n_bad, occ
+    return out, n_bad
+
+
+def _wave_bounce(scene, cfg, bounce, st, draw, draw2, draw2_arr=None,
+                 rxd=None, ryd=None):
+    """ONE wavefront bounce: intersect, Le, NEE, BSDF sample, RR.
+
+    Pure state -> state; `bounce` is a compile-time constant (Sobol dim
+    slots, RR gating and the final-bounce Le-only tail all specialize).
+    trace_wave unrolls this for every bounce inside one program; the
+    segmented band renderer jits it per bounce so no single device
+    program exceeds the axon lane-bounce fault envelope (render_band's
+    sizing comment) regardless of max_depth.
+    """
+    sd = scene.data
+    f32 = jnp.float32
+    from .scene.scene import LIGHT_AREA, MAT_GLASS
+    do_nee, one_sample, pick_prob, compact, sort_waves = \
+        _wave_flags(scene, cfg)
+    stride = _bounce_stride(cfg, scene.n_lights)
+    last = bounce == cfg.max_depth
+    dim_base = 2 + stride * bounce
+
+    st = dict(st)
+    o, d = st["o"], st["d"]
+    n = o.shape[0]
+    l, beta, active = st["l"], st["beta"], st["active"]
+    specular = st["specular"]
+    prev_pdf, prev_p = st["prev_pdf"], st["prev_p"]
+    prev_perr, prev_ng = st["prev_perr"], st["prev_ng"]
+
+    n_live = jnp.sum(active.astype(f32))
+    st["n_live"] = n_live
+    st["rays"] = st["rays"] + n_live
+    if compact:
+        t_in = jnp.where(active, jnp.inf, 0.0).astype(f32)
+        if sort_waves and bounce > 0:
+            key = jnp.where(active, st["prev_steps"], jnp.int32(1 << 30))
+            perm = jnp.argsort(key)
+            hit_p = _scene_intersect(scene, o[perm], d[perm],
+                                     t_in[perm], count_steps=True)
+            inv = jnp.argsort(perm)
+            hit = {k: v[inv] for k, v in hit_p.items()}
+        else:
+            hit = _scene_intersect(scene, o, d, t_in,
+                                   count_steps=sort_waves)
+        if sort_waves:
+            st["prev_steps"] = hit.pop("steps")
+    else:
+        hit = _scene_intersect(scene, o, d,
+                               jnp.full((n,), jnp.inf, f32))
+    found = hit["valid"] & active
+
+    # emitted radiance. "ref" mode: camera/specular bounces only
+    # (:418-427); "onesample": every vertex, MIS-weighted against the
+    # light-sampling density of the previous vertex (pbrt-v4 form).
+    le_mask = active if bounce == 0 else (active & specular)
+    if last:
+        # only Le survives the final bounce — skip the frame build
+        le_hit, hl = ia.hit_emission(scene.tri_attr, hit, -d)
+    else:
+        it = ia.make_interaction(sd, o, d, hit, scene.tri_attr)
+        # camera-ray differentials -> duvdx/duvdy for mip filter widths
+        # (only the first hit: deeper rays carry no differentials in
+        # the reference either, integrator.rs:449-468 spawn_ray)
+        duv = ia.compute_duv(it, o, rxd, ryd) \
+            if (bounce == 0 and rxd is not None) else None
+        if scene.has_normal_maps:
+            it = ia.apply_normal_mapping(sd, it, duv=duv)
+        le_hit = ia.emitted_radiance(it, -d)
+        hl = it["area_light"]
+    if one_sample:
+        from .ops.gather import take_rows
+        if bounce == 0 or LIGHT_AREA not in scene.light_set:
+            w_area = jnp.ones((n,), f32)
+        else:
+            lrows_h = take_rows(scene.light_attr,
+                                jnp.maximum(hl, 0))
+            lpdf = lt.pdf_li(sd, lrows_h, prev_p, prev_perr, prev_ng,
+                             d, light_set=(LIGHT_AREA,)) * pick_prob
+            w_area = jnp.where(specular, 1.0,
+                               pm.power_heuristic(1.0, prev_pdf,
+                                                  1.0, lpdf))
+        l = l + jnp.where((active & found)[..., None],
+                          beta * le_hit * w_area[..., None], 0.0)
+    else:
+        l = l + jnp.where((le_mask & found)[..., None],
+                          beta * le_hit, 0.0)
+    if scene.has_env:
+        le_env = lt.env_le(sd, d)
+        if one_sample:
+            if bounce == 0:
+                w_env = jnp.ones((n,), f32)
+            else:
+                epdf = lt.env_pdf_li(sd, d) * pick_prob
+                w_env = jnp.where(specular, 1.0,
+                                  pm.power_heuristic(1.0, prev_pdf,
+                                                     1.0, epdf))
+            l = l + jnp.where((active & ~hit["valid"])[..., None],
+                              beta * le_env * w_env[..., None], 0.0)
+        else:
+            l = l + jnp.where((le_mask & ~hit["valid"])[..., None],
+                              beta * le_env, 0.0)
+    if last:
+        st["l"] = l
+        return st
+
+    cont = found
+    mp = bx.gather_params(sd, it["material"], it["uv"],
+                          mat_attr=scene.mat_attr, has_tex=scene.has_tex,
+                          duv=duv, tex_channels=scene.tex_channels)
+    wo = -d
+
+    # --- NEE (:443-447) for materials with non-specular lobes;
+    # statically skipped for specular-only or lightless scenes
+    rays = st["rays"]
+    if do_nee:
+        nonspec = bx.has_nonspecular(mp["mtype"]) & cont
+        shadow_rays = 1.0 if one_sample else 2.0
+        if cfg.light_strategy == "all":
+            # uniform_sample_all_lights (integrator.rs:141-189): one
+            # sample per light, own dim slots, summed (no 1/L scaling)
+            ld = jnp.zeros((n, 3), f32)
+            for li_i in range(scene.n_lights):
+                db = dim_base + DIMS_PER_BOUNCE + 4 * li_i
+                if draw2_arr is not None:
+                    # per-sample 2D ARRAYS: the n_lights points form a
+                    # latin-hypercube set (ref get_2d_array fills via
+                    # latin_hyper_cube_2d, integrator.rs:152-153)
+                    u_light = draw2_arr(dim_base + DIMS_PER_BOUNCE,
+                                        li_i, scene.n_lights)
+                    u_scatt = None if one_sample else draw2_arr(
+                        dim_base + DIMS_PER_BOUNCE + 1, li_i,
+                        scene.n_lights)
+                else:
+                    u_light = draw2(db)
+                    u_scatt = None if one_sample else draw2(db + 2)
+                idx_i = jnp.full((n,), li_i, jnp.int32)
+                ld = ld + estimate_direct(scene, cfg, it, mp, u_scatt,
+                                          u_light, idx_i, wo,
+                                          bsdf_branch=not one_sample)
+            l = l + jnp.where(nonspec[..., None], beta * ld, 0.0)
+            rays = rays + shadow_rays * scene.n_lights * \
+                jnp.sum(nonspec.astype(f32))
+        else:
+            u_light = draw2(dim_base + DIM_U_LIGHT)
+            u_scatt = None if one_sample else \
+                draw2(dim_base + DIM_U_SCATTER)
+            n_l = np.float32(scene.n_lights)
+            if scene.n_lights > 1:
+                u_pick = draw(dim_base + DIM_LIGHT_PICK)
+                light_idx = jnp.minimum((u_pick * n_l).astype(jnp.int32),
+                                        scene.n_lights - 1)
+            else:
+                light_idx = jnp.zeros((n,), jnp.int32)
+            ld = estimate_direct(scene, cfg, it, mp, u_scatt, u_light,
+                                 light_idx, wo,
+                                 bsdf_branch=not one_sample,
+                                 pick_prob=pick_prob if one_sample
+                                 else 1.0)
+            scale = 1.0 if one_sample else n_l
+            l = l + jnp.where(nonspec[..., None], beta * ld * scale, 0.0)
+            rays = rays + shadow_rays * jnp.sum(nonspec.astype(f32))
+    st["rays"] = rays
+
+    # --- BSDF sampling for the next bounce (:449-468)
+    u_bsdf = draw2(dim_base + DIM_BSDF)
+    wo_l = _to_local(it, wo)
+    bs = bx.sample_f(
+        mp, wo_l, u_bsdf,
+        lambda wi_loc: (pm.dot(_to_world(it, wi_loc), it["ng"])
+                        * pm.dot(wo, it["ng"])) > 0.0,
+        present=scene.mat_set)
+    wi_w = _to_world(it, bs["wi"])
+    cos_ns = jnp.abs(pm.dot(wi_w, it["ns"]))
+    dead = jnp.all(bs["f"] == 0.0, axis=-1) | (bs["pdf"] == 0.0)
+    new_beta = beta * bs["f"] * \
+        (cos_ns / jnp.maximum(bs["pdf"], 1e-20))[..., None]
+    cont2 = cont & ~dead
+    beta = jnp.where(cont2[..., None], new_beta, beta)
+    st["specular"] = jnp.where(cont2, bs["specular"], specular)
+    if one_sample:
+        # next vertex's MIS weight needs this vertex's sampling state
+        st["prev_pdf"] = jnp.where(cont2, bs["pdf"], prev_pdf)
+        st["prev_p"] = jnp.where(cont2[..., None], it["p"], prev_p)
+        st["prev_perr"] = jnp.where(cont2[..., None], it["p_error"],
+                                    prev_perr)
+        st["prev_ng"] = jnp.where(cont2[..., None], it["ng"], prev_ng)
+
+    # eta_scale for RR through glass (:471-480); only glass scenes
+    if MAT_GLASS in scene.mat_set and cfg.rr_enable:
+        spec_trans = bs["specular"] & bs["transmission"]
+        eta = mp["eta"]
+        scale = jnp.where(pm.dot(wo, it["ng"]) > 0.0, eta * eta,
+                          1.0 / jnp.maximum(eta * eta, 1e-20))
+        st["eta_scale"] = jnp.where(cont2 & spec_trans,
+                                    st["eta_scale"] * scale,
+                                    st["eta_scale"])
+
+    new_o = ia.spawn_ray(it["p"], it["p_error"], it["ng"], wi_w)
+    st["o"] = jnp.where(cont2[..., None], new_o, o)
+    st["d"] = jnp.where(cont2[..., None], wi_w, d)
+
+    # --- Russian roulette (:486-497): compiles out below start depth
+    if cfg.rr_enable and bounce > cfg.rr_start_depth:
+        rr_beta_max = jnp.max(beta * st["eta_scale"][..., None], axis=-1)
+        rr_gate = cont2 & (rr_beta_max < cfg.rr_threshold)
+        u_rr = draw(dim_base + DIM_RR)
+        q = jnp.maximum(0.05, 1.0 - rr_beta_max)
+        rr_kill = rr_gate & (u_rr < q)
+        beta = jnp.where((rr_gate & ~rr_kill)[..., None],
+                         beta / (1.0 - q)[..., None], beta)
+        cont2 = cont2 & ~rr_kill
+
+    st["l"] = l
+    st["beta"] = beta
+    st["active"] = cont2
+    return st
 
 
 @functools.partial(jax.jit,
@@ -1039,8 +1082,114 @@ def render_band(scene, cfg: PathConfig, spp: int, band_shape: tuple[int, int],
 
 # lane-bounce budget for fused BVH bounce programs on the axon TPU backend
 # (see render_progressive band sizing); 6 segments x 65536 rays is the
-# largest configuration proven stable on hardware.
+# largest configuration proven stable on hardware. Big scenes sidestep it
+# entirely via the SEGMENTED band renderer below (one jitted program per
+# bounce, so program size is depth-independent by construction).
 _WAVE_DEPTH_BUDGET = 6 * 65536
+# trees below this row count keep the fused whole-wave program even when
+# the envelope binds (small scenes fit it anyway; fusion wins)
+_SEG_MIN_ROWS = 2048
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "band_shape", "total_spp_log2"))
+def _seg_gen(scene, cfg, band_shape, px, py, b_base, scramble,
+             f_lo, f_hi, f_delta, frame, inv_lo, inv_hi,
+             r2c, cam_rot, cam_pos, sobol_pack, sobol_scale,
+             sobol_off_x, sobol_off_y, total_spp_log2=0,
+             dxdy_cam=None, diff_scale=1.0):
+    """Segmented renderer, stage 1: camera rays + sampler state for ONE
+    sample frame of one band (the ray-gen half of render_band.per_frame).
+
+    Returns (wave state, aux sampler arrays, jx, jy, rxd, ryd)."""
+    from .ops import samplers as smp
+    pxf = px.astype(jnp.float32)
+    pyf = py.astype(jnp.float32)
+    aux = dict(
+        pixel_hash=smp.hash_combine(px.astype(jnp.uint32),
+                                    smp.hash_u32(py.astype(jnp.uint32))),
+        frame=frame,
+        idx_lo=jnp.zeros_like(px, jnp.uint32),
+        idx_hi=jnp.zeros_like(px, jnp.uint32),
+    )
+    if cfg.sampler == "sobol":
+        idx_lo, idx_hi = sb.sobol_index(b_base, f_delta, f_lo, f_hi,
+                                        inv_lo, inv_hi)
+        aux["idx_lo"], aux["idx_hi"] = idx_lo, idx_hi
+        # camera dims 0,1: unscrambled remap (see render_band.per_frame)
+        s01 = sb.sobol_sample_dim2(idx_lo, idx_hi, 0,
+                                   jnp.zeros_like(scramble), sobol_pack)
+        jx = jnp.clip(s01[..., 0] * sobol_scale + sobol_off_x - pxf,
+                      0.0, pm.ONE_MINUS_EPSILON)
+        jy = jnp.clip(s01[..., 1] * sobol_scale + sobol_off_y - pyf,
+                      0.0, pm.ONE_MINUS_EPSILON)
+    else:
+        draw, _, _ = _seg_draws(cfg, aux, scramble, sobol_pack,
+                                total_spp_log2)
+        jx = draw(0)
+        jy = draw(1)
+    p_film = jnp.stack([pxf + jx, pyf + jy], axis=-1)
+    if dxdy_cam is not None and (scene.has_tex or scene.has_normal_maps):
+        o, d, rxd, ryd = generate_rays_diff(r2c, cam_rot, cam_pos, p_film,
+                                            dxdy_cam, diff_scale)
+    else:
+        o, d = generate_rays(r2c, cam_rot, cam_pos, p_film)
+        rxd = ryd = None
+    return _wave_init(scene, cfg, o, d), aux, jx, jy, rxd, ryd
+
+
+def _seg_draws(cfg, aux, scramble, sobol_pack, total_spp_log2):
+    """Rebuild the per-frame draw closures from the aux sampler arrays
+    (mirrors render_band.per_frame's closure construction)."""
+    from .ops import samplers as smp
+    if cfg.sampler == "sobol":
+        draw = lambda dim: sb.sobol_sample_dim(
+            aux["idx_lo"], aux["idx_hi"], dim, scramble, sobol_pack)
+        draw2 = lambda dim: sb.sobol_sample_dim2(
+            aux["idx_lo"], aux["idx_hi"], dim, scramble, sobol_pack)
+        return draw, draw2, None
+    if cfg.sampler == "stratified":
+        draw = lambda dim: smp.stratified_sample_dim(
+            aux["pixel_hash"], aux["frame"], total_spp_log2, dim)
+        draw2 = lambda dim: smp.stratified_sample_dim2(
+            aux["pixel_hash"], aux["frame"], total_spp_log2, dim)
+        draw2_arr = lambda dim, i, n: smp.lhs_2d_dim(
+            aux["pixel_hash"], aux["frame"], dim, i, n)
+        return draw, draw2, draw2_arr
+    draw = lambda dim: smp.random_sample_dim(aux["pixel_hash"],
+                                             aux["frame"], dim)
+    draw2 = lambda dim: jnp.stack([draw(dim), draw(dim + 1)], axis=-1)
+    return draw, draw2, None
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "bounce", "total_spp_log2"))
+def _seg_bounce(scene, cfg, bounce, st, aux, scramble, sobol_pack,
+                total_spp_log2=0, rxd=None, ryd=None):
+    """Segmented renderer, stage 2: ONE jitted bounce (own device
+    program — the program-size fault envelope no longer scales with
+    max_depth, so 131k-ray waves run at any depth)."""
+    draw, draw2, draw2_arr = _seg_draws(cfg, aux, scramble, sobol_pack,
+                                        total_spp_log2)
+    return _wave_bounce(scene, cfg, bounce, st, draw, draw2,
+                        draw2_arr=draw2_arr, rxd=rxd, ryd=ryd)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "band_shape", "filter_f1d",
+                                    "filter_radius"))
+def _seg_splat(cfg, band_shape, st, jx, jy, valid_lanes, film_pad,
+               band_x0, band_y0, filter_f1d, filter_radius=2.0):
+    """Segmented renderer, stage 3: radiance watchdog + tile splat."""
+    th, tw = band_shape
+    radiance, n_bad = _wave_radiance(cfg, st)
+    tile = splat_tile(radiance.reshape(th, tw, 3),
+                      jx.reshape(th, tw), jy.reshape(th, tw),
+                      valid_lanes.reshape(th, tw), filter_f1d,
+                      radius=filter_radius)
+    film_pad = film_pad_accumulate(film_pad, tile, band_x0, band_y0,
+                                   half=splat_halfwidth(filter_radius))
+    return film_pad, st["rays"], n_bad
 
 
 class PathIntegrator:
@@ -1066,6 +1215,39 @@ class PathIntegrator:
     def render(self, camera: Camera, scene) -> jnp.ndarray:
         """Returns the (H, W, 4) film accumulator."""
         return self.render_progressive(camera, scene, chunk_spp=self.spp)
+
+    def _band_segmented(self, scene, band_shape, valid, film_pad,
+                        x0, by0, px, py, b_base, scramble,
+                        f_lo, f_hi, f_delta, frame, inv_lo, inv_hi,
+                        r2c, cam_rot, cam_pos, ft, sobol_pack,
+                        sobol_scale, sobol_off_x, sobol_off_y,
+                        dxdy_cam, diff_scale):
+        """One sample frame of one band as per-bounce jitted segments
+        (ray-gen -> max_depth+1 bounce programs -> splat). Device
+        programs stay below the axon fault envelope at ANY depth, so
+        this path has no wave cap and no chunk=1 forcing."""
+        cfg = self.cfg
+        tsl = pm.log2_int(self.spp)
+        st, aux, jx, jy, rxd, ryd = _seg_gen(
+            scene, cfg, band_shape, px, py, b_base, scramble,
+            f_lo, f_hi, f_delta, frame, inv_lo, inv_hi,
+            r2c, cam_rot, cam_pos, sobol_pack, sobol_scale,
+            sobol_off_x, sobol_off_y, total_spp_log2=tsl,
+            dxdy_cam=dxdy_cam, diff_scale=diff_scale)
+        occs = []
+        for bounce in range(cfg.max_depth + 1):
+            st = _seg_bounce(scene, cfg, bounce, st, aux, scramble,
+                             sobol_pack, total_spp_log2=tsl,
+                             rxd=rxd if bounce == 0 else None,
+                             ryd=ryd if bounce == 0 else None)
+            if cfg.count_occupancy:
+                occs.append(st["n_live"])
+        film_pad, rays, n_bad = _seg_splat(
+            cfg, band_shape, st, jx, jy, valid, film_pad, x0, by0,
+            filter_f1d=ft, filter_radius=self.filter_radius)
+        occ = (jnp.stack(occs) if cfg.count_occupancy
+               else jnp.zeros((cfg.max_depth + 1,), jnp.float32))
+        return film_pad, rays, n_bad, occ
 
     def render_progressive(self, camera: Camera, scene,
                            chunk_spp: int | None = None, callback=None,
@@ -1100,18 +1282,27 @@ class PathIntegrator:
         # tools/crash_matrix.py: depth-5 x 131k rays CRASHES bare
         # trace_wave, depth-4 x 131k and depth-5 x 65k PASS full renders),
         # so waves are capped at a tested-safe 393k/(depth+1) budget there.
+        # SEGMENTED mode (one jitted program per bounce) escapes the
+        # lane-bounce fault envelope by construction: program size is
+        # depth-independent, so big-scene waves run full-size at any
+        # depth. Small trees keep the fused whole-wave program (cross-
+        # bounce fusion wins when the envelope doesn't bind).
+        bw = getattr(scene, "bw_rows", None)
+        segmented = (bw is not None and bw.shape[0] >= _SEG_MIN_ROWS
+                     and (self.cfg.max_depth + 1) * min(1 << 17, ws * hs)
+                     > _WAVE_DEPTH_BUDGET)
         if self.band_rows:
             band = self.band_rows
         else:
             wave_cap = 1 << 17
-            if getattr(scene, "bvh", None) is not None:
+            if getattr(scene, "bvh", None) is not None and not segmented:
                 wave_cap = min(wave_cap,
                                _WAVE_DEPTH_BUDGET // (self.cfg.max_depth + 1))
             band = max(1, wave_cap // ws)
         band = min(band, hs)
         n_bands = -(-hs // band)
         chunk = pm.round_up_pow2(min(chunk_spp or self.spp, self.spp))
-        if getattr(scene, "bvh", None) is not None:
+        if getattr(scene, "bvh", None) is not None and not segmented:
             # the lane-bounce budget is per LAUNCH (the spp fori_loop rides
             # inside render_band): bench spp=4 at a tested-safe 65k-ray
             # band still faulted, 1 frame/launch at the same band passes.
@@ -1154,20 +1345,43 @@ class PathIntegrator:
             for i in range(n_frames):
                 frame_lo[i], frame_hi[i], frame_delta[i] = \
                     sb.frame_statics(domain, s0 + i)
+            stats = []  # device scalars; one sync per chunk, not per band
             for by0, px, py, valid, b_base, scramble in bands:
-                film_pad, rays, n_bad, occ = render_band(
-                    scene, self.cfg, n_frames, (band, ws), valid, film_pad,
-                    jnp.int32(x0), jnp.int32(by0), px, py, b_base, scramble,
-                    jnp.asarray(frame_lo), jnp.asarray(frame_hi),
-                    jnp.asarray(frame_delta), jnp.int32(s0), inv_lo, inv_hi,
-                    r2c, cam_rot, cam_pos, ft, sobol_pack,
-                    jnp.float32(domain.resolution),
-                    jnp.float32(domain.p_min[0]),
-                    jnp.float32(domain.p_min[1]),
-                    total_spp_log2=pm.log2_int(self.spp),
-                    filter_radius=self.filter_radius,
-                    dxdy_cam=camera.diff_params(),
-                    diff_scale=jnp.float32(1.0 / np.sqrt(self.spp)))
+                if segmented:
+                    for i in range(n_frames):
+                        film_pad, rays, n_bad, occ = self._band_segmented(
+                            scene, (band, ws), valid, film_pad,
+                            jnp.int32(x0), jnp.int32(by0), px, py, b_base,
+                            scramble, jnp.uint32(frame_lo[i]),
+                            jnp.uint32(frame_hi[i]),
+                            jnp.uint32(frame_delta[i]),
+                            jnp.int32(s0 + i), inv_lo, inv_hi,
+                            r2c, cam_rot, cam_pos, ft, sobol_pack,
+                            jnp.float32(domain.resolution),
+                            jnp.float32(domain.p_min[0]),
+                            jnp.float32(domain.p_min[1]),
+                            camera.diff_params(),
+                            jnp.float32(1.0 / np.sqrt(self.spp)))
+                        stats.append((rays, n_bad, occ))
+                else:
+                    film_pad, rays, n_bad, occ = render_band(
+                        scene, self.cfg, n_frames, (band, ws), valid,
+                        film_pad,
+                        jnp.int32(x0), jnp.int32(by0), px, py, b_base,
+                        scramble,
+                        jnp.asarray(frame_lo), jnp.asarray(frame_hi),
+                        jnp.asarray(frame_delta), jnp.int32(s0),
+                        inv_lo, inv_hi,
+                        r2c, cam_rot, cam_pos, ft, sobol_pack,
+                        jnp.float32(domain.resolution),
+                        jnp.float32(domain.p_min[0]),
+                        jnp.float32(domain.p_min[1]),
+                        total_spp_log2=pm.log2_int(self.spp),
+                        filter_radius=self.filter_radius,
+                        dxdy_cam=camera.diff_params(),
+                        diff_scale=jnp.float32(1.0 / np.sqrt(self.spp)))
+                    stats.append((rays, n_bad, occ))
+            for rays, n_bad, occ in stats:
                 self.last_ray_count += float(rays)
                 self.bad_sample_count += float(n_bad)
                 self.bounce_occupancy += np.asarray(occ, np.float64)

@@ -292,7 +292,7 @@ def eval_texture(scene, txd_id, uv, fallback, duv=None):
 
 # ---------------------------------------------------------------- materials
 def gather_params(scene, mat_id, uv=None, mat_attr=None, has_tex=True,
-                  duv=None):
+                  duv=None, tex_channels=None):
     """Per-ray material parameter gather from the packed material table.
 
     mat_attr: (M, MA_WIDTH) packed rows (TracedScene.mat_attr); built on
@@ -320,14 +320,25 @@ def gather_params(scene, mat_id, uv=None, mat_attr=None, has_tex=True,
     metallic = misc[:, 0]
     rough_d = misc[:, 1]
     if uv is not None and has_tex:
-        kd = eval_texture(scene, scene.mat_kd_tx[mat_id], uv, kd, duv=duv)
-        ks = eval_texture(scene, scene.mat_ks_tx[mat_id], uv, ks, duv=duv)
-        metallic = eval_texture(
-            scene, scene.mat_metallic_tx[mat_id], uv,
-            metallic[..., None] * jnp.ones(3), duv=duv)[..., 0]
-        rough_d = eval_texture(
-            scene, scene.mat_rough_tx[mat_id], uv,
-            rough_d[..., None] * jnp.ones(3), duv=duv)[..., 0]
+        # per-channel static gating (TracedScene.tex_channels): channels
+        # no used material binds skip their eval_texture entirely — each
+        # is 4-8 texel gathers per lane on the gather-rate-bound hot path
+        ck, cs, cm, cr = (tex_channels if tex_channels is not None
+                          else (True,) * 4)
+        if ck:
+            kd = eval_texture(scene, scene.mat_kd_tx[mat_id], uv, kd,
+                              duv=duv)
+        if cs:
+            ks = eval_texture(scene, scene.mat_ks_tx[mat_id], uv, ks,
+                              duv=duv)
+        if cm:
+            metallic = eval_texture(
+                scene, scene.mat_metallic_tx[mat_id], uv,
+                metallic[..., None] * jnp.ones(3), duv=duv)[..., 0]
+        if cr:
+            rough_d = eval_texture(
+                scene, scene.mat_rough_tx[mat_id], uv,
+                rough_d[..., None] * jnp.ones(3), duv=duv)[..., 0]
     alpha_d = jnp.maximum(0.001, rough_d * rough_d)
     ax = jnp.where(mtype == MAT_DISNEY, alpha_d, jnp.maximum(ax, 0.001))
     ay = jnp.where(mtype == MAT_DISNEY, alpha_d, jnp.maximum(ay, 0.001))

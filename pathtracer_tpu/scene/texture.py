@@ -190,6 +190,13 @@ def lookup_width(pool: TexturePool, tex, st, width):
 
     tex: (N,) texture ids; st: (N, 2); width: (N,) or scalar filter width.
     """
+    if isinstance(width, (int, float)) and float(width) == 0.0:
+        # statically width-0 (rays without differentials, i.e. every
+        # non-camera bounce — the reference's deeper rays carry none
+        # either, texture.rs:430-445): level-0 bilinear, which skips the
+        # second mip level's 4 texel gathers (the hot path is gather-rate
+        # bound; this halves per-bounce texture cost)
+        return _triangle(pool, tex, jnp.zeros(st.shape[:-1], jnp.int32), st)
     n_lev = pool.n_levels[tex].astype(jnp.float32)
     width = jnp.broadcast_to(jnp.asarray(width, jnp.float32), st.shape[:-1])
     level = n_lev - 1.0 + jnp.log2(jnp.maximum(width, 1e-8))

@@ -121,8 +121,8 @@ def test_cutout_render_shadows():
 
 
 def test_alpha_b8_tree_matches_brute():
-    """Big alpha sets (> 512 tris) route through the 8-wide alpha tree +
-    re-spawn retries (integrator._alpha_b8_closest/_anyhit); hits and
+    """Big alpha sets (> 512 tris) route through the 32-wide alpha tree +
+    re-spawn retries (integrator._alpha_tree_closest/_anyhit); hits and
     occlusion must match the non-BVH brute retry path on stacked
     checkerboard cutout sheets."""
     rng = np.random.default_rng(7)
@@ -150,7 +150,7 @@ def test_alpha_b8_tree_matches_brute():
                 b.add_mesh(q, idx, None, uv, leaf_m, alpha_txd=a_txd)
     sd = b.build()
     ts_tree = TracedScene.create(sd)
-    assert ts_tree.b8a_rows is not None, "alpha set must route to the tree"
+    assert ts_tree.bwa_rows is not None, "alpha set must route to the tree"
     ts_brute = TracedScene.create(sd, use_bvh=False, use_pallas=False)
 
     n = 128

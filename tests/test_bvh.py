@@ -138,13 +138,23 @@ def test_bvh2_unified_matches_brute(cornell_bvh):
     """Unified-row traversal (accel/bvh2) == brute oracle on random rays,
     closest and any-hit, including bounded t_max."""
     ts = cornell_bvh
-    assert ts.u_rows is not None
+    from pathtracer_tpu.accel.bvh import build_bvh
+    from pathtracer_tpu.accel.bvh2 import build_unified, bvh2_intersect
+    p0 = np.asarray(ts.data.p0)
+    p1 = np.asarray(ts.data.p1)
+    p2 = np.asarray(ts.data.p2)
+    b = build_bvh(p0, p1, p2, 2)
+    p0, p1, p2 = p0[b.order], p1[b.order], p2[b.order]
+    rows, root = build_unified(
+        np.asarray(b.bounds_min), np.asarray(b.bounds_max),
+        np.asarray(b.offset), np.asarray(b.n_prims),
+        np.asarray(b.axis), p0, p1, p2)
     n = 2048
     o, d = _random_rays(n, seed=11)
     tmax = jnp.full(n, np.inf, jnp.float32)
-    from pathtracer_tpu.accel.bvh2 import bvh2_intersect
-    hb = intersect_brute(o, d, tmax, ts.data.p0, ts.data.p1, ts.data.p2)
-    hv = bvh2_intersect(ts.u_rows, ts.u_root, o, d, tmax)
+    hb = intersect_brute(o, d, tmax, jnp.asarray(p0), jnp.asarray(p1),
+                         jnp.asarray(p2))
+    hv = bvh2_intersect(jnp.asarray(rows), root, o, d, tmax)
     np.testing.assert_array_equal(np.asarray(hb["valid"]),
                                   np.asarray(hv["valid"]))
     both = np.asarray(hb["valid"])
@@ -155,8 +165,9 @@ def test_bvh2_unified_matches_brute(cornell_bvh):
                  np.asarray(hv["tri"])[both]).mean()
     assert tri_agree > 0.99
     tb = jnp.full(n, 1.5, jnp.float32)
-    pb = intersect_p_brute(o, d, tb, ts.data.p0, ts.data.p1, ts.data.p2)
-    pv = bvh2_intersect(ts.u_rows, ts.u_root, o, d, tb, any_hit=True)
+    pb = intersect_p_brute(o, d, tb, jnp.asarray(p0), jnp.asarray(p1),
+                           jnp.asarray(p2))
+    pv = bvh2_intersect(jnp.asarray(rows), root, o, d, tb, any_hit=True)
     np.testing.assert_array_equal(np.asarray(pb), np.asarray(pv))
 
 

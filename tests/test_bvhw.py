@@ -1,0 +1,76 @@
+"""BVH32 (accel/bvhw) equality vs the brute-force watertight oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pathtracer_tpu.accel.bvhw import build_bvhw, bvhw_intersect
+from pathtracer_tpu.ops.intersect import intersect_brute
+
+
+def _random_soup(rng, f, spread=4.0, size=0.4):
+    c = (rng.random((f, 1, 3)) * 2 - 1) * spread
+    tri = c + (rng.random((f, 3, 3)) * 2 - 1) * size
+    tri = tri.astype(np.float32)
+    return tri[:, 0], tri[:, 1], tri[:, 2]
+
+
+def _random_rays(rng, n, spread=6.0):
+    o = ((rng.random((n, 3)) * 2 - 1) * spread).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+# sizes straddle every layout case: single leaf row (<= 25), one interior
+# level, multi-level with full 32-child nodes, and odd leaf fills
+@pytest.mark.parametrize("f", [1, 5, 24, 26, 113, 600, 3000])
+def test_bvhw_matches_brute(f):
+    rng = np.random.default_rng(f)
+    p0, p1, p2 = _random_soup(rng, f)
+    table, order, depth = build_bvhw(p0, p1, p2)
+    p0r, p1r, p2r = p0[order], p1[order], p2[order]
+    o, d = _random_rays(rng, 512)
+    tmax = jnp.full((512,), jnp.inf, jnp.float32)
+
+    hv = bvhw_intersect(jnp.asarray(table), o, d, tmax)
+    hb = intersect_brute(o, d, tmax, jnp.asarray(p0r), jnp.asarray(p1r),
+                         jnp.asarray(p2r))
+    np.testing.assert_array_equal(np.asarray(hv["valid"]),
+                                  np.asarray(hb["valid"]))
+    v = np.asarray(hb["valid"])
+    np.testing.assert_allclose(np.asarray(hv["t"])[v],
+                               np.asarray(hb["t"])[v], rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(hv["tri"])[v],
+                                  np.asarray(hb["tri"])[v])
+
+    # any-hit with finite t_max agrees on occlusion
+    tb = jnp.where(hb["valid"], hb["t"] * 1.5, 0.5)
+    pv = bvhw_intersect(jnp.asarray(table), o, d, tb, any_hit=True)
+    pb = intersect_brute(o, d, tb, jnp.asarray(p0r), jnp.asarray(p1r),
+                         jnp.asarray(p2r))["valid"]
+    np.testing.assert_array_equal(np.asarray(pv), np.asarray(pb))
+
+
+def test_bvhw_dead_lanes_terminate():
+    """t_max <= 0 lanes must report no hit (compaction contract)."""
+    rng = np.random.default_rng(7)
+    p0, p1, p2 = _random_soup(rng, 50)
+    table, _, _ = build_bvhw(p0, p1, p2)
+    o, d = _random_rays(rng, 64)
+    hv = bvhw_intersect(jnp.asarray(table), o, d,
+                        jnp.zeros((64,), jnp.float32))
+    assert not np.asarray(hv["valid"]).any()
+
+
+def test_bvhw_table_compactness():
+    """A Sponza-scale soup must land in the fast-gather regime
+    (< 12k rows / < 12 MB, tools/probe_gather_width3.py)."""
+    rng = np.random.default_rng(3)
+    p0, p1, p2 = _random_soup(rng, 40000, spread=10.0, size=0.3)
+    table, _, depth = build_bvhw(p0, p1, p2)
+    rows, width = table.shape
+    assert width == 256
+    assert rows * width * 4 < 12 * (1 << 20), (rows, "bytes")
+    assert rows < 12288, rows
+    assert depth <= 6, depth

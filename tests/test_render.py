@@ -202,3 +202,22 @@ def test_onesample_mis_matches_ref_mean(cornell):
     # per-pixel agreement within MC noise at 32 spp
     rel = np.abs(r_one - r_ref).mean() / max(r_ref.mean(), 1e-6)
     assert rel < 0.25, rel
+
+
+def test_segmented_band_matches_unrolled(cornell, monkeypatch):
+    """The segmented band renderer (per-bounce jitted programs,
+    integrator._band_segmented) must produce the same film as the fused
+    whole-wave program — it is the same _wave_bounce math dispatched
+    differently. Forced on the small scene by shrinking the envelope."""
+    import pathtracer_tpu.integrator as intg
+    from pathtracer_tpu.integrator import TracedScene
+    cam, sd, _ = cornell
+    scene = TracedScene.create(sd, use_bvh=True, use_pallas=False)
+    assert scene.bw_rows is not None
+    cfg = PathConfig(max_depth=3)
+    f_unrolled = PathIntegrator(cfg, spp=2).render(cam, scene)
+    monkeypatch.setattr(intg, "_WAVE_DEPTH_BUDGET", 1)
+    monkeypatch.setattr(intg, "_SEG_MIN_ROWS", 1)
+    f_seg = PathIntegrator(cfg, spp=2).render(cam, scene)
+    np.testing.assert_allclose(np.asarray(f_seg), np.asarray(f_unrolled),
+                               rtol=2e-4, atol=2e-5)

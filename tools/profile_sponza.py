@@ -72,14 +72,18 @@ if scene.split_alpha:
     timed("alpha-set closest        ",
           jax.jit(lambda o, d: _alpha_set_intersect(scene, o, d, t_inf)),
           o, d)
-if scene.b8_rows is not None:
-    timed("b8 main closest (chunk4) ",
+if scene.bw_rows is not None:
+    timed("bw main closest (chunk4) ",
           jax.jit(lambda o, d: _main_closest(scene, o, d, t_inf)), o, d)
-    from pathtracer_tpu.accel.bvh8 import bvh8_intersect_chunked
+    from pathtracer_tpu.accel.bvhw import bvhw_intersect_chunked
     for ch in (1, 8, 16):
-        timed(f"b8 main closest (chunk{ch:<2d})",
-              jax.jit(lambda o, d, ch=ch: bvh8_intersect_chunked(
-                  scene.b8_rows, o, d, t_inf, chunks=ch)), o, d)
+        timed(f"bw main closest (chunk{ch:<2d})",
+              jax.jit(lambda o, d, ch=ch: bvhw_intersect_chunked(
+                  scene.bw_rows, o, d, t_inf, chunks=ch)), o, d)
+    timed("bw main anyhit           ",
+          jax.jit(lambda o, d: bvhw_intersect_chunked(
+              scene.bw_rows, o, d, jnp.full((N,), 100.0, jnp.float32),
+              any_hit=True)), o, d)
 
 
 def wave(cfg, sc):
