@@ -46,7 +46,7 @@ def bench_cornell():
     cam, scene, _ = load_mitsuba("data/cornell-box.xml",
                                  resolution=(640, 480))
     return _time_render(cam=cam, scene=scene,
-                        integ=PathIntegrator(PathConfig(max_depth=5),
+                        integ=PathIntegrator(PathConfig(max_depth=5, mis_mode="onesample"),
                                              spp=16))
 
 
@@ -57,7 +57,7 @@ def bench_sponza():
     cam, sd, _ = load_gltf("data/sponza_proc.glb", resolution=(1920, 1080))
     scene = TracedScene.create(sd)
     return _time_render(cam=cam, scene=scene,
-                        integ=PathIntegrator(PathConfig(max_depth=5),
+                        integ=PathIntegrator(PathConfig(max_depth=5, mis_mode="onesample"),
                                              spp=4))
 
 

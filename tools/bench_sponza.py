@@ -34,7 +34,7 @@ scene = TracedScene.create(sd)
 print(f"bvh {time.time()-t0:.1f}s nodes={int(scene.bvh.nodes.shape[0])} "
       f"alpha={scene.has_alpha}", flush=True)
 
-integ = PathIntegrator(PathConfig(max_depth=depth), spp=spp)
+integ = PathIntegrator(PathConfig(max_depth=depth, mis_mode="onesample"), spp=spp)
 t0 = time.time()
 film = integ.render(cam, scene)
 film.block_until_ready()

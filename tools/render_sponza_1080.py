@@ -1,0 +1,53 @@
+"""Config E gallery render: Sponza GLB at 1920x1080 (BASELINE.json;
+ref flagship README.md:105-107). Checkpointed so an interrupted run
+resumes; writes gallery/sponza_1080p_<spp>spp.png.
+
+Usage: python tools/render_sponza_1080.py [spp] [depth] [checkpoint]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from pathtracer_tpu.core.film import to_rgb8  # noqa: E402
+from pathtracer_tpu.integrator import (PathConfig, PathIntegrator,  # noqa
+                                       TracedScene)
+from pathtracer_tpu.scene.gltf import load_gltf  # noqa: E402
+from pathtracer_tpu.utils.image import write_png  # noqa: E402
+
+spp = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+depth = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+ck = sys.argv[3] if len(sys.argv) > 3 else "/tmp/sponza_1080.ck.npz"
+
+t0 = time.time()
+cam, sd, _ = load_gltf("data/sponza_proc.glb", resolution=(1920, 1080))
+scene = TracedScene.create(sd)
+print(f"scene {time.time()-t0:.1f}s rows={scene.bw_rows.shape[0]}",
+      flush=True)
+
+integ = PathIntegrator(PathConfig(max_depth=depth, mis_mode="onesample"),
+                       spp=spp)
+t0 = time.time()
+
+
+def progress(film, done):
+    print(f"  {done}/{integ.spp} spp  {time.time()-t0:.0f}s", flush=True)
+
+
+film = integ.render_progressive(cam, scene, chunk_spp=4, callback=progress,
+                                checkpoint=ck)
+dt = time.time() - t0
+rays = integ.last_ray_count
+print(f"render {dt:.1f}s rays={rays/1e6:.1f}M -> {rays/dt/1e6:.2f} Mrays/s",
+      flush=True)
+out = f"gallery/sponza_1080p_{integ.spp}spp.png"
+write_png(out, to_rgb8(film))
+print("wrote", out, flush=True)
