@@ -413,21 +413,200 @@ def bvhw_intersect(table, o, d, t_max, any_hit: bool = False,
     return out
 
 
+def bvhw_intersect_il(table, o, d, t_max, k: int = 2,
+                      any_hit: bool = False, count_steps: bool = False):
+    """INTERLEAVED traversal: k independent sub-waves advance inside ONE
+    while_loop body, so their k row gathers (distinct gather ops with no
+    data dependency) pipeline on the gather engine — measured ~5.2
+    ns/row/lane at k=2 vs ~7 solo (tools/probe_gather_width3.py). The
+    loop trips to the slowest sub-wave; callers pre-sort rays by
+    expected cost so contiguous sub-waves finish together.
+    """
+    n = o.shape[0]
+    assert n % k == 0
+    c = n // k
+    f32 = jnp.float32
+    i32 = jnp.int32
+    u32 = jnp.uint32
+    table = jnp.asarray(table)
+
+    def occ_of(row):
+        return (row[:, 193].astype(u32)
+                | (row[:, 194].astype(u32) << 16))
+
+    subs = []
+    root = table[0]
+    for i in range(k):
+        oi = o[i * c:(i + 1) * c]
+        di = d[i * c:(i + 1) * c]
+        ti = t_max[i * c:(i + 1) * c]
+        inv_d = 1.0 / di
+        oct_ = ((di[:, 0] < 0).astype(i32) * 4
+                + (di[:, 1] < 0).astype(i32) * 2
+                + (di[:, 2] < 0).astype(i32))
+        slot_ids = jnp.arange(BW, dtype=i32)[None, :]
+        perm = (jnp.bitwise_xor(slot_ids >> 2, oct_[:, None]) << 2) \
+            | (slot_ids & 3)
+        bitvals = (jnp.uint32(1) << perm.astype(u32))
+        root_hits = _slab32(jnp.broadcast_to(root[None, :], (c, WW)),
+                            oi, inv_d, ti)
+        mask0 = jnp.sum(jnp.where(root_hits, bitvals, jnp.uint32(0)),
+                        axis=1, dtype=u32)
+        mask0 = jnp.where(ti > 0.0, mask0, jnp.uint32(0))
+        st = dict(
+            cur_base=jnp.broadcast_to(root[192].astype(i32), (c,)),
+            cur_mask=mask0,
+            cur_occ=jnp.broadcast_to(
+                root[193].astype(u32) | (root[194].astype(u32) << 16),
+                (c,)),
+            sb=jnp.zeros((STACKW, c), i32),
+            sm=jnp.zeros((STACKW, c), u32),
+            so=jnp.zeros((STACKW, c), u32),
+            sp=jnp.zeros((c,), i32),
+            t_best=ti,
+            tri=jnp.zeros((c,), i32),
+            b=jnp.zeros((c, 3), f32),
+            found=jnp.zeros((c,), bool),
+        )
+        if count_steps:
+            st["steps"] = jnp.zeros((c,), i32)
+        subs.append(dict(st=st, o=oi, d=di, inv_d=inv_d, oct=oct_,
+                         bitvals=bitvals))
+
+    def live_mask(st):
+        live = (st["cur_mask"] != 0) | (st["sp"] > 0)
+        if any_hit:
+            live = live & ~st["found"]
+        return live
+
+    def sub_body(st, oi, di, inv_d, oct_, bitvals):
+        live = live_mask(st)
+        do_pop = (st["cur_mask"] == 0) & (st["sp"] > 0) & live
+        sb, sm, so = st["sb"], st["sm"], st["so"]
+        cur_base = jnp.where(do_pop, sb[0], st["cur_base"])
+        cur_mask = jnp.where(do_pop, sm[0], st["cur_mask"])
+        cur_occ = jnp.where(do_pop, so[0], st["cur_occ"])
+        sb = jnp.where(do_pop[None, :],
+                       jnp.concatenate([sb[1:], sb[:1] * 0], axis=0), sb)
+        sm = jnp.where(do_pop[None, :],
+                       jnp.concatenate([sm[1:], sm[:1] * 0], axis=0), sm)
+        so = jnp.where(do_pop[None, :],
+                       jnp.concatenate([so[1:], so[:1] * 0], axis=0), so)
+        sp = jnp.where(do_pop, st["sp"] - 1, st["sp"])
+        act = live & (cur_mask != 0)
+
+        low = cur_mask & (jnp.uint32(0) - cur_mask)
+        p = jnp.minimum(jax.lax.population_count(low - 1).astype(i32), 31)
+        slot = (jnp.bitwise_xor(p >> 2, oct_) << 2) | (p & 3)
+        cur_mask = cur_mask & (cur_mask - 1)
+        rank = jax.lax.population_count(
+            cur_occ & ((jnp.uint32(1) << slot.astype(u32))
+                       - jnp.uint32(1))).astype(i32)
+        child = jnp.where(act, cur_base + rank, 0)
+        row = table[child]  # one of k independent gathers this iteration
+
+        is_leaf = row[:, 255] > 0.5
+        t_best, tri, b, found = (st["t_best"], st["tri"], st["b"],
+                                 st["found"])
+        lact = act & is_leaf
+        for j in range(LEAFW):
+            t_j, b_j, h_j = watertight_hit_diag(
+                oi, di, t_best, row[:, 9 * j:9 * j + 3],
+                row[:, 9 * j + 3:9 * j + 6], row[:, 9 * j + 6:9 * j + 9])
+            id_j = row[:, 9 * LEAFW + j].astype(i32)
+            take = lact & h_j & (id_j >= 0)
+            t_best = jnp.where(take, t_j, t_best)
+            tri = jnp.where(take, id_j, tri)
+            b = jnp.where(take[:, None], b_j, b)
+            found = found | take
+
+        iact = act & ~is_leaf
+        hits = _slab32(row, oi, inv_d, t_best) & iact[:, None]
+        new_mask = jnp.sum(jnp.where(hits, bitvals, jnp.uint32(0)),
+                           axis=1, dtype=u32)
+        new_base = row[:, 192].astype(i32)
+        new_occ = occ_of(row)
+        descend = iact & (new_mask != 0)
+        push = descend & (cur_mask != 0)
+        sb = jnp.where(push[None, :],
+                       jnp.concatenate([cur_base[None], sb[:-1]], axis=0),
+                       sb)
+        sm = jnp.where(push[None, :],
+                       jnp.concatenate([cur_mask[None], sm[:-1]], axis=0),
+                       sm)
+        so = jnp.where(push[None, :],
+                       jnp.concatenate([cur_occ[None], so[:-1]], axis=0),
+                       so)
+        sp = jnp.where(push, sp + 1, sp)
+        out = dict(cur_base=jnp.where(descend, new_base, cur_base),
+                   cur_mask=jnp.where(descend, new_mask, cur_mask),
+                   cur_occ=jnp.where(descend, new_occ, cur_occ),
+                   sb=sb, sm=sm, so=so, sp=sp,
+                   t_best=t_best, tri=tri, b=b, found=found)
+        if count_steps:
+            out["steps"] = st["steps"] + live.astype(i32)
+        return out
+
+    def body(sts):
+        return tuple(sub_body(sts[i], subs[i]["o"], subs[i]["d"],
+                              subs[i]["inv_d"], subs[i]["oct"],
+                              subs[i]["bitvals"])
+                     for i in range(k))
+
+    def cond(sts):
+        alive = live_mask(sts[0])
+        any_alive = jnp.any(alive)
+        for i in range(1, k):
+            any_alive = any_alive | jnp.any(live_mask(sts[i]))
+        return any_alive
+
+    finals = jax.lax.while_loop(cond, body,
+                                tuple(s["st"] for s in subs))
+    if any_hit:
+        got = jnp.concatenate([f["found"] for f in finals])
+        if count_steps:
+            return got, jnp.concatenate([f["steps"] for f in finals])
+        return got
+    out = dict(
+        valid=jnp.concatenate([f["found"] for f in finals]),
+        t=jnp.concatenate([jnp.where(f["found"], f["t_best"], 0.0)
+                           for f in finals]),
+        tri=jnp.concatenate([f["tri"] for f in finals]),
+        b=jnp.concatenate([f["b"] for f in finals]),
+    )
+    if count_steps:
+        out["steps"] = jnp.concatenate([f["steps"] for f in finals])
+    return out
+
+
 def bvhw_intersect_chunked(table, o, d, t_max, chunks: int = 4,
                            any_hit: bool = False,
-                           count_steps: bool = False):
+                           count_steps: bool = False,
+                           interleave: int = 1):
     """Independent sub-wave loops (the TPU runtime overlaps them; see
-    bvh.bvh_intersect_chunked). Rays pre-sorted by expected cost (dead
-    lanes in tail chunks) cut total iterations: each chunk's while_loop
-    trips to its own slowest lane."""
+    bvh.bvh_intersect_chunked), optionally k-way interleaved so each
+    chunk's gathers pipeline. interleave defaults OFF in the fused
+    whole-wave program: the doubled loop body (2 x 25 inline leaf
+    tests) made XLA compile time explode when unrolled across bounces.
+    Rays pre-sorted by expected cost (dead lanes in tail chunks) cut
+    total iterations: each chunk's while_loop trips to its own slowest
+    lane."""
     n = o.shape[0]
-    if chunks <= 1 or n < 4096 * chunks or n % chunks != 0:
-        return bvhw_intersect(table, o, d, t_max, any_hit=any_hit,
+
+    def one(o_, d_, t_):
+        if interleave > 1 and o_.shape[0] % interleave == 0 \
+                and o_.shape[0] >= 2048 * interleave:
+            return bvhw_intersect_il(table, o_, d_, t_, k=interleave,
+                                     any_hit=any_hit,
+                                     count_steps=count_steps and not any_hit)
+        return bvhw_intersect(table, o_, d_, t_, any_hit=any_hit,
                               count_steps=count_steps and not any_hit)
+
+    if chunks <= 1 or n < 4096 * chunks or n % chunks != 0:
+        return one(o, d, t_max)
     c = n // chunks
-    outs = [bvhw_intersect(table, o[i * c:(i + 1) * c], d[i * c:(i + 1) * c],
-                           t_max[i * c:(i + 1) * c], any_hit=any_hit,
-                           count_steps=count_steps and not any_hit)
+    outs = [one(o[i * c:(i + 1) * c], d[i * c:(i + 1) * c],
+                t_max[i * c:(i + 1) * c])
             for i in range(chunks)]
     if any_hit:
         return jnp.concatenate(outs)

@@ -74,3 +74,24 @@ def test_bvhw_table_compactness():
     assert rows * width * 4 < 12 * (1 << 20), (rows, "bytes")
     assert rows < 12288, rows
     assert depth <= 6, depth
+
+
+def test_bvhw_interleaved_matches_plain():
+    """k-way interleaved traversal (bvhw_intersect_il) == plain, closest
+    and any-hit — same math, gathers merely pipelined."""
+    from pathtracer_tpu.accel.bvhw import bvhw_intersect_il
+    rng = np.random.default_rng(11)
+    p0, p1, p2 = _random_soup(rng, 700)
+    table, order, _ = build_bvhw(p0, p1, p2)
+    o, d = _random_rays(rng, 512)
+    tmax = jnp.full((512,), jnp.inf, jnp.float32)
+    h1 = bvhw_intersect(jnp.asarray(table), o, d, tmax)
+    h2 = bvhw_intersect_il(jnp.asarray(table), o, d, tmax, k=2)
+    for key in ("valid", "t", "tri"):
+        np.testing.assert_array_equal(np.asarray(h1[key]),
+                                      np.asarray(h2[key]), err_msg=key)
+    tb = jnp.where(h1["valid"], h1["t"] * 1.5, 0.5)
+    p1_ = bvhw_intersect(jnp.asarray(table), o, d, tb, any_hit=True)
+    p2_ = bvhw_intersect_il(jnp.asarray(table), o, d, tb, k=2,
+                            any_hit=True)
+    np.testing.assert_array_equal(np.asarray(p1_), np.asarray(p2_))
