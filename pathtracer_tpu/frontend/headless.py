@@ -31,19 +31,30 @@ def run(camera, scene, integrator: PathIntegrator, output_path: str,
     """Render and save; returns the film accumulator as numpy (H, W, 4)."""
     w, h = camera.resolution
     tev = TevClient(server_address)
+    t_start = time.perf_counter()
+
+    def progress(done):
+        # the indicatif render bar analogue (ref integrator.rs:631-635):
+        # per-chunk spp progress with elapsed + ETA
+        el = time.perf_counter() - t_start
+        eta = el / max(done, 1) * (integrator.spp - done)
+        log.info("progress: %d/%d spp  %.0fs elapsed  ~%.0fs left",
+                 done, integrator.spp, el, eta)
+
     if tev.connected:
         log.info("streaming progressive render to tev at %s", server_address)
         tev.create_image(w, h)
 
         def callback(film, done):
             tev.update_image(np.asarray(to_rgb(film)))
-            log.info("progress: %d/%d spp", done, integrator.spp)
+            progress(done)
 
         chunk = chunk_spp or max(1, integrator.spp // 8)
     else:
         log.warning("could not connect to display server, "
-                    "falling back to one shot rendering")
-        callback = None
+                    "falling back to progressive chunked rendering")
+        callback = (lambda film, done: progress(done)) \
+            if (chunk_spp and chunk_spp < integrator.spp) else None
         chunk = chunk_spp or integrator.spp
 
     t0 = time.perf_counter()
