@@ -590,7 +590,8 @@ def _to_world(it, w):
 
 
 def estimate_direct(scene, cfg, it, mp, u_scatt, u_light, light_idx,
-                    wo_world, bsdf_branch=True, pick_prob=1.0):
+                    wo_world, bsdf_branch=True, pick_prob=1.0,
+                    defer_shadow=False):
     """Both-strategy MIS direct lighting for one chosen light per ray.
 
     Ref integrator.rs:23-139. Returns (N, 3) radiance estimate (pre
@@ -600,6 +601,10 @@ def estimate_direct(scene, cfg, it, mp, u_scatt, u_light, light_idx,
     ray hits the light (pbrt-v4 PathIntegrator::SampleLd form) — and
     ``pick_prob`` (the light-selection pmf) folds into the effective
     light pdf instead of an outer num_lights scale.
+
+    ``defer_shadow`` (onesample only): skip the occlusion test and
+    return (contribution-if-unoccluded, (mask, so, sdir, st)) so the
+    caller resolves the shadow ray inside the NEXT bounce's program.
     """
     from .ops.gather import take_rows
     sd = scene.data
@@ -625,12 +630,20 @@ def estimate_direct(scene, cfg, it, mp, u_scatt, u_light, light_idx,
     so, sdir, st = ia.spawn_ray_to(it["p"], it["p_error"], it["ng"],
                                    ls["target_p"], ls["target_err"],
                                    ls["target_n"])
-    occluded = _scene_intersect_p(scene, so, sdir, st)
-    li1 = jnp.where((branch1 & ~occluded)[..., None], ls["li"], 0.0)
     w1 = jnp.where(ls["is_delta"], 1.0,
                    pm.power_heuristic(1.0, pdf_eff, 1.0, scatt_pdf))
-    contrib1 = f * li1 * w1[..., None] / jnp.maximum(pdf_eff, 1e-20)[..., None]
-    ld = ld + jnp.where(branch1[..., None], contrib1, 0.0)
+    li1u = jnp.where(branch1[..., None], ls["li"], 0.0)
+    contrib1 = f * li1u * w1[..., None] / \
+        jnp.maximum(pdf_eff, 1e-20)[..., None]
+    contrib1 = jnp.where(branch1[..., None], contrib1, 0.0)
+    if defer_shadow:
+        # segmented mode: the shadow any-hit is resolved at the START of
+        # the NEXT bounce's program, where it overlaps that program's
+        # closest-hit (independent while_loops overlap on this backend)
+        assert not bsdf_branch
+        return contrib1, (branch1, so, sdir, st)
+    occluded = _scene_intersect_p(scene, so, sdir, st)
+    ld = ld + jnp.where(occluded[..., None], 0.0, contrib1)
     if not bsdf_branch:
         return ld
 
@@ -741,6 +754,13 @@ def _wave_init(scene, cfg, o, d):
         prev_steps=jnp.zeros((n,), jnp.int32),
         rays=jnp.float32(0.0),
         n_live=jnp.float32(0.0),
+        # deferred NEE shadow ray (segmented mode): resolved inside the
+        # NEXT bounce's program where it overlaps that closest-hit
+        pend_mask=jnp.zeros((n,), bool),
+        pend_o=jnp.zeros((n, 3), f32),
+        pend_d=jnp.zeros((n, 3), f32),
+        pend_t=jnp.zeros((n,), f32),
+        pend_contrib=jnp.zeros((n, 3), f32),
     )
 
 
@@ -757,7 +777,7 @@ def _wave_radiance(cfg, st):
 
 
 def _wave_bounce(scene, cfg, bounce, st, draw, draw2, draw2_arr=None,
-                 rxd=None, ryd=None):
+                 rxd=None, ryd=None, defer_shadow=False):
     """ONE wavefront bounce: intersect, Le, NEE, BSDF sample, RR.
 
     Pure state -> state; `bounce` is a compile-time constant (Sobol dim
@@ -766,6 +786,11 @@ def _wave_bounce(scene, cfg, bounce, st, draw, draw2, draw2_arr=None,
     segmented band renderer jits it per bounce so no single device
     program exceeds the axon lane-bounce fault envelope (render_band's
     sizing comment) regardless of max_depth.
+
+    defer_shadow (segmented + onesample + one-light only): this bounce's
+    NEE shadow ray is stored in the state and RESOLVED at the top of the
+    next bounce's program, where its any-hit while_loop overlaps that
+    program's closest-hit on the TPU runtime (measured ~free).
     """
     sd = scene.data
     f32 = jnp.float32
@@ -775,6 +800,8 @@ def _wave_bounce(scene, cfg, bounce, st, draw, draw2, draw2_arr=None,
     stride = _bounce_stride(cfg, scene.n_lights)
     last = bounce == cfg.max_depth
     dim_base = 2 + stride * bounce
+    defer = (defer_shadow and do_nee and one_sample
+             and cfg.light_strategy == "one")
 
     st = dict(st)
     o, d = st["o"], st["d"]
@@ -805,6 +832,17 @@ def _wave_bounce(scene, cfg, bounce, st, draw, draw2, draw2_arr=None,
         hit = _scene_intersect(scene, o, d,
                                jnp.full((n,), jnp.inf, f32))
     found = hit["valid"] & active
+
+    if defer:
+        # resolve the PREVIOUS bounce's deferred shadow ray: its any-hit
+        # while_loop is independent of this bounce's closest-hit above,
+        # so the runtime overlaps the two traversals
+        occ_prev = _scene_intersect_p(
+            scene, st["pend_o"], st["pend_d"],
+            jnp.where(st["pend_mask"], st["pend_t"], 0.0))
+        l = l + jnp.where((st["pend_mask"] & ~occ_prev)[..., None],
+                          st["pend_contrib"], 0.0)
+        st["pend_mask"] = jnp.zeros((n,), bool)
 
     # emitted radiance. "ref" mode: camera/specular bounces only
     # (:418-427); "onesample": every vertex, MIS-weighted against the
@@ -908,13 +946,26 @@ def _wave_bounce(scene, cfg, bounce, st, draw, draw2, draw2_arr=None,
                                         scene.n_lights - 1)
             else:
                 light_idx = jnp.zeros((n,), jnp.int32)
-            ld = estimate_direct(scene, cfg, it, mp, u_scatt, u_light,
-                                 light_idx, wo,
-                                 bsdf_branch=not one_sample,
-                                 pick_prob=pick_prob if one_sample
-                                 else 1.0)
-            scale = 1.0 if one_sample else n_l
-            l = l + jnp.where(nonspec[..., None], beta * ld * scale, 0.0)
+            if defer:
+                contrib, (b1, so_, sd_, st_) = estimate_direct(
+                    scene, cfg, it, mp, u_scatt, u_light, light_idx, wo,
+                    bsdf_branch=False, pick_prob=pick_prob,
+                    defer_shadow=True)
+                st["pend_mask"] = nonspec & b1
+                st["pend_o"] = so_
+                st["pend_d"] = sd_
+                st["pend_t"] = st_
+                st["pend_contrib"] = jnp.where(nonspec[..., None],
+                                               beta * contrib, 0.0)
+            else:
+                ld = estimate_direct(scene, cfg, it, mp, u_scatt, u_light,
+                                     light_idx, wo,
+                                     bsdf_branch=not one_sample,
+                                     pick_prob=pick_prob if one_sample
+                                     else 1.0)
+                scale = 1.0 if one_sample else n_l
+                l = l + jnp.where(nonspec[..., None], beta * ld * scale,
+                                  0.0)
             rays = rays + shadow_rays * jnp.sum(nonspec.astype(f32))
     st["rays"] = rays
 
@@ -1168,11 +1219,13 @@ def _seg_bounce(scene, cfg, bounce, st, aux, scramble, sobol_pack,
                 total_spp_log2=0, rxd=None, ryd=None):
     """Segmented renderer, stage 2: ONE jitted bounce (own device
     program — the program-size fault envelope no longer scales with
-    max_depth, so 131k-ray waves run at any depth)."""
+    max_depth, so 131k-ray waves run at any depth). NEE shadow rays are
+    deferred into the next bounce's program (see _wave_bounce)."""
     draw, draw2, draw2_arr = _seg_draws(cfg, aux, scramble, sobol_pack,
                                         total_spp_log2)
     return _wave_bounce(scene, cfg, bounce, st, draw, draw2,
-                        draw2_arr=draw2_arr, rxd=rxd, ryd=ryd)
+                        draw2_arr=draw2_arr, rxd=rxd, ryd=ryd,
+                        defer_shadow=True)
 
 
 @functools.partial(jax.jit,

@@ -214,10 +214,17 @@ def test_segmented_band_matches_unrolled(cornell, monkeypatch):
     cam, sd, _ = cornell
     scene = TracedScene.create(sd, use_bvh=True, use_pallas=False)
     assert scene.bw_rows is not None
-    cfg = PathConfig(max_depth=3)
-    f_unrolled = PathIntegrator(cfg, spp=2).render(cam, scene)
+    cfgs = [PathConfig(max_depth=3),
+            # onesample additionally exercises the deferred-shadow path
+            # (the segmented renderer resolves bounce k's NEE occlusion
+            # inside bounce k+1's program)
+            PathConfig(max_depth=3, mis_mode="onesample")]
+    f_unrolled = [np.asarray(PathIntegrator(c, spp=2).render(cam, scene))
+                  for c in cfgs]
     monkeypatch.setattr(intg, "_WAVE_DEPTH_BUDGET", 1)
     monkeypatch.setattr(intg, "_SEG_MIN_ROWS", 1)
-    f_seg = PathIntegrator(cfg, spp=2).render(cam, scene)
-    np.testing.assert_allclose(np.asarray(f_seg), np.asarray(f_unrolled),
-                               rtol=2e-4, atol=2e-5)
+    for c, f_u in zip(cfgs, f_unrolled):
+        f_seg = PathIntegrator(c, spp=2).render(cam, scene)
+        np.testing.assert_allclose(np.asarray(f_seg), f_u,
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=c.mis_mode)

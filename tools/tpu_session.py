@@ -1,0 +1,189 @@
+"""One-attach TPU measurement session: runs every open measurement in a
+single process (each fresh attach costs 90s-6min, so batch them all).
+
+Covers, in order (cheapest first, so partial output is still useful):
+  1. cornell bench (640x480, 16 spp, d5) — the round-1 criterion
+  2. BVH32 traversal ledger on Sponza: plain vs interleave-2 vs chunks,
+     closest + anyhit, bush (incoherent) + camera rays
+  3. shading ledger deltas (wave d0/d1 with/without NEE)
+  4. segmented-envelope probe: 131k-ray wave at depth 15 (the old cap's
+     impossible case) — crash-matrix replacement
+  5. Sponza e2e 480x270 and 1920x1080 @1spp d5
+
+Usage: python tools/tpu_session.py [stage...]   (default: all)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+stages = set(sys.argv[1:]) or {"cornell", "trav", "shade", "seg", "e2e"}
+
+t_attach = time.time()
+jax.device_put(np.zeros(8, np.float32)).block_until_ready()
+print(f"[attach] {time.time()-t_attach:.1f}s", flush=True)
+
+
+def timed(name, fn, *args, reps=3):
+    out = jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    print(f"{name}: {(time.perf_counter()-t0)/reps*1e3:8.1f} ms", flush=True)
+
+
+from pathtracer_tpu.integrator import (PathConfig, PathIntegrator,  # noqa
+                                       TracedScene, _scene_intersect,
+                                       _scene_intersect_p, trace_wave)
+
+# ---------------------------------------------------------------- cornell
+if "cornell" in stages:
+    from pathtracer_tpu.scene.mitsuba import load_mitsuba
+    cam_c, sd_c, _ = load_mitsuba("data/cornell-box.xml",
+                                  resolution=(640, 480))
+    integ = PathIntegrator(PathConfig(max_depth=5, mis_mode="onesample"),
+                           spp=16)
+    t0 = time.time()
+    film = integ.render(cam_c, sd_c)
+    film.block_until_ready()
+    print(f"[cornell] warmup {time.time()-t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    film = integ.render(cam_c, sd_c)
+    film.block_until_ready()
+    dt = time.perf_counter() - t0
+    print(f"[cornell] {integ.last_ray_count/dt/1e6:.1f} Mrays/s "
+          f"({dt:.2f}s)", flush=True)
+
+if stages & {"trav", "shade", "seg", "e2e"}:
+    from pathtracer_tpu.scene.gltf import load_gltf
+    t0 = time.time()
+    cam, sd, _ = load_gltf("data/sponza_proc.glb", resolution=(640, 480))
+    scene = TracedScene.create(sd)
+    print(f"[sponza] scene {time.time()-t0:.1f}s "
+          f"rows={scene.bw_rows.shape[0]} "
+          f"alpha_rows={scene.bwa_rows.shape[0]}", flush=True)
+
+    N = 65536
+    rng = np.random.default_rng(0)
+    center = np.asarray(0.5 * (np.asarray(sd.p0).min(0)
+                               + np.asarray(sd.p0).max(0)))
+    o_bush = jnp.asarray(np.tile(center[None, :] + np.array([0, 1, 0],
+                                                            np.float32),
+                                 (N, 1)).astype(np.float32))
+    dn = rng.normal(size=(N, 3)).astype(np.float32)
+    dn /= np.linalg.norm(dn, axis=-1, keepdims=True)
+    d_bush = jnp.asarray(dn)
+    from pathtracer_tpu.core.camera import generate_rays
+    px = rng.random((N, 2)).astype(np.float32) * np.asarray([640, 480],
+                                                            np.float32)
+    r2c, rot, pos = cam.ray_params()
+    o_cam, d_cam = generate_rays(r2c, rot, pos, jnp.asarray(px))
+    t_inf = jnp.full((N,), np.inf, jnp.float32)
+    t_100 = jnp.full((N,), 100.0, jnp.float32)
+
+# ------------------------------------------------------------------ trav
+if "trav" in stages:
+    from pathtracer_tpu.accel.bvhw import (bvhw_intersect,
+                                           bvhw_intersect_chunked,
+                                           bvhw_intersect_il)
+    tab = scene.bw_rows
+    for rays_name, o_, d_ in (("bush", o_bush, d_bush),
+                              ("cam ", o_cam, d_cam)):
+        timed(f"[trav] {rays_name} plain   closest",
+              jax.jit(lambda o, d: bvhw_intersect(tab, o, d, t_inf)),
+              o_, d_)
+        timed(f"[trav] {rays_name} il2     closest",
+              jax.jit(lambda o, d: bvhw_intersect_il(tab, o, d, t_inf,
+                                                     k=2)), o_, d_)
+        timed(f"[trav] {rays_name} il4     closest",
+              jax.jit(lambda o, d: bvhw_intersect_il(tab, o, d, t_inf,
+                                                     k=4)), o_, d_)
+        for ch in (1, 4, 8):
+            timed(f"[trav] {rays_name} chunk{ch}  closest",
+                  jax.jit(lambda o, d, ch=ch: bvhw_intersect_chunked(
+                      tab, o, d, t_inf, chunks=ch)), o_, d_)
+        timed(f"[trav] {rays_name} chunk4i2closest",
+              jax.jit(lambda o, d: bvhw_intersect_chunked(
+                  tab, o, d, t_inf, chunks=4, interleave=2)), o_, d_)
+        timed(f"[trav] {rays_name} plain   anyhit ",
+              jax.jit(lambda o, d: bvhw_intersect(tab, o, d, t_100,
+                                                  any_hit=True)), o_, d_)
+        timed(f"[trav] {rays_name} full closest(split)",
+              jax.jit(lambda o, d: _scene_intersect(scene, o, d, t_inf)),
+              o_, d_)
+        timed(f"[trav] {rays_name} full anyhit (split)",
+              jax.jit(lambda o, d: _scene_intersect_p(scene, o, d, t_100)),
+              o_, d_)
+
+# ----------------------------------------------------------------- shade
+if "shade" in stages:
+    import dataclasses
+    u1 = jnp.asarray(rng.random(N).astype(np.float32))
+    u2 = jnp.asarray(rng.random((N, 2)).astype(np.float32))
+
+    def wave(cfg, sc):
+        return jax.jit(lambda o, d: trace_wave(
+            sc, cfg, lambda dim: u1, lambda dim: u2, o, d)[0])
+
+    t0 = 0.0
+    timed("[shade] wave d0            ",
+          wave(PathConfig(max_depth=0), scene), o_bush, d_bush)
+    timed("[shade] wave d1 onesample  ",
+          wave(PathConfig(max_depth=1, mis_mode="onesample"), scene),
+          o_bush, d_bush)
+    timed("[shade] wave d1 no-NEE     ",
+          wave(PathConfig(max_depth=1),
+               dataclasses.replace(scene, n_lights=0)), o_bush, d_bush)
+    timed("[shade] wave d3 onesample  ",
+          wave(PathConfig(max_depth=3, mis_mode="onesample"), scene),
+          o_bush, d_bush)
+
+# ------------------------------------------------------------------- seg
+if "seg" in stages:
+    # the old cap's impossible case: depth 15, 131k-ray band, segmented
+    cam15, sd15, _ = load_gltf("data/sponza_proc.glb",
+                               resolution=(640, 200))  # ~131k rays/band
+    integ15 = PathIntegrator(PathConfig(max_depth=15,
+                                        mis_mode="onesample"), spp=1)
+    t0 = time.time()
+    film15 = integ15.render(cam15, scene)
+    film15.block_until_ready()
+    a = np.asarray(film15)
+    assert np.isfinite(a).all() and (a[..., 3] > 0).any()
+    print(f"[seg] depth15 640x200 1spp OK {time.time()-t0:.1f}s "
+          f"(incl compile)", flush=True)
+
+# ------------------------------------------------------------------- e2e
+if "e2e" in stages:
+    for res in ((480, 270), (1920, 1080)):
+        cam_r, _, _ = load_gltf("data/sponza_proc.glb", resolution=res)
+        integ_r = PathIntegrator(PathConfig(max_depth=5,
+                                            mis_mode="onesample"), spp=1)
+        t0 = time.time()
+        film_r = integ_r.render(cam_r, scene)
+        film_r.block_until_ready()
+        print(f"[e2e] {res[0]}x{res[1]} warmup(compile) "
+              f"{time.time()-t0:.1f}s", flush=True)
+        t0 = time.perf_counter()
+        film_r = integ_r.render(cam_r, scene)
+        film_r.block_until_ready()
+        dt = time.perf_counter() - t0
+        rays = integ_r.last_ray_count
+        print(f"[e2e] sponza {res[0]}x{res[1]} spp1 d5: {dt:.2f}s "
+              f"rays={rays/1e6:.1f}M -> {rays/dt/1e6:.2f} Mrays/s",
+              flush=True)
+    from pathtracer_tpu.core.film import to_rgb8
+    from pathtracer_tpu.utils.image import write_png
+    write_png("/tmp/sponza_e2e.png", to_rgb8(film_r))
+    print("wrote /tmp/sponza_e2e.png", flush=True)
