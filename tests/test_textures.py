@@ -245,3 +245,40 @@ def test_mip_level_varies_with_filter_width():
     # near: a saturated stripe color; far: the 50/50 mean (0.5, 0, 0.5)
     assert abs(near[0] - near[2]) > 0.9
     np.testing.assert_allclose(far, [0.5, 0.0, 0.5], atol=0.05)
+
+
+def test_tex_channel_gating():
+    """TracedScene.tex_channels reflects which channels any USED material
+    binds (unbound channels compile out of gather_params), and a gated
+    build still evaluates the bound channel."""
+    import jax.numpy as jnp
+    from pathtracer_tpu.integrator import TracedScene
+    from pathtracer_tpu.ops.bsdf import gather_params
+    img = np.zeros((4, 4, 3), np.float32)
+    img[:, :2] = 1.0
+    b = SceneBuilder()
+    txd = b.add_texture_image(img)
+    m = b.add_material(mtype=MAT_MATTE, kd=(0.5, 0.5, 0.5), kd_tx=txd)
+    tri = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    b.add_mesh(tri, np.asarray([[0, 1, 2]]), None,
+               np.asarray([[0, 0], [1, 0], [0, 1]], np.float32), m)
+    ts = TracedScene.create(b.build(), use_pallas=False)
+    assert ts.tex_channels == (True, False, False, False)
+    assert ts.has_tex
+    uv = jnp.asarray([[0.25, 0.5], [0.9, 0.5]], jnp.float32)
+    mp = gather_params(ts.data, jnp.zeros(2, jnp.int32), uv,
+                       mat_attr=ts.mat_attr, has_tex=ts.has_tex,
+                       tex_channels=ts.tex_channels)
+    kd = np.asarray(mp["kd"])
+    assert kd[0, 0] > 0.9 and kd[1, 0] < 0.1  # texture applied
+    # an unused ks texture on an UNUSED material must not enable the ks
+    # channel (gating keys on used materials only)
+    b2 = SceneBuilder()
+    txd2 = b2.add_texture_image(img)
+    m2 = b2.add_material(mtype=MAT_MATTE, kd=(0.5, 0.5, 0.5))
+    b2.add_material(mtype=MAT_MATTE, ks_tx=txd2)  # never referenced
+    b2.add_mesh(tri, np.asarray([[0, 1, 2]]), None,
+                np.asarray([[0, 0], [1, 0], [0, 1]], np.float32), m2)
+    ts2 = TracedScene.create(b2.build(), use_pallas=False)
+    assert ts2.tex_channels == (False, False, False, False)
+    assert not ts2.has_tex
