@@ -44,8 +44,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--default_lights", action="store_true",
                    help="add default environment light to the scene")
     p.add_argument("--headless", action="store_true",
-                   help="run without interactive viewer (always true on TPU "
-                        "pods; kept for flag parity)")
+                   help="run without interactive viewer (the default; "
+                        "kept for flag parity)")
+    p.add_argument("--interactive", default=None, nargs="?",
+                   const="orbit", choices=("orbit", "fps"),
+                   help="interactive viewer: terminal keys drive the "
+                        "camera, frames stream to tev (ref viewer loop; "
+                        "orbit = mouse-orbit analogue, fps = WASD)")
     p.add_argument("--server", default="127.0.0.1:14158",
                    help="tev server address for remote preview")
     p.add_argument("--mesh", type=int, default=0,
@@ -147,6 +152,16 @@ def main(argv=None) -> int:
             out = os.path.join(out, "render.png")
         write_png(out, to_rgb8(film))
         log.info("wrote %s", out)
+        return 0
+
+    if args.interactive and not args.headless:
+        import os
+        from .interactive import run as run_interactive
+        out = args.output
+        if os.path.isdir(out):
+            out = os.path.join(out, "render.png")
+        run_interactive(camera, traced, integ, out, args.server,
+                        controller=args.interactive)
         return 0
 
     from .headless import run

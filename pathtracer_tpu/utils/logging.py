@@ -57,5 +57,15 @@ def set_level(level: str) -> None:
         getattr(logging, level.upper(), logging.INFO))
 
 
+def cycle_level() -> str:
+    """Toggle INFO <-> DEBUG at runtime (the reference binds this to the
+    T key, viewer/mod.rs:199-212; the CLI also binds it to SIGUSR1)."""
+    root = logging.getLogger(ROOT)
+    new = "DEBUG" if root.level > logging.DEBUG else "INFO"
+    root.setLevel(getattr(logging, new))
+    root.warning("log level switched to %s", new)
+    return new
+
+
 def get_logger(module: str) -> logging.Logger:
     return logging.getLogger(f"{ROOT}.{module}")

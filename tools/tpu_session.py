@@ -136,7 +136,15 @@ if "shade" in stages:
         return jax.jit(lambda o, d: trace_wave(
             sc, cfg, lambda dim: u1, lambda dim: u2, o, d)[0])
 
-    t0 = 0.0
+    key = jnp.asarray(rng.integers(0, 1 << 20, N).astype(np.int32))
+    timed("[shade] argsort 65k i32    ",
+          jax.jit(lambda k: jnp.argsort(k)), key)
+    from pathtracer_tpu.ops import bsdf as bx
+    timed("[shade] gather_params      ",
+          jax.jit(lambda uv: bx.gather_params(
+              scene.data, jnp.zeros(N, jnp.int32), uv,
+              mat_attr=scene.mat_attr, has_tex=scene.has_tex,
+              tex_channels=scene.tex_channels)["kd"].sum()), u2)
     timed("[shade] wave d0            ",
           wave(PathConfig(max_depth=0), scene), o_bush, d_bush)
     timed("[shade] wave d1 onesample  ",
