@@ -42,6 +42,37 @@ from .tev import TevClient
 log = get_logger("viewer")
 
 
+def preview_frame(camera, scene):
+    """Instant preview: one primary-visibility wave shaded as
+    albedo x |n . v| — the TPU stand-in for the reference viewer's
+    rasterized phong preview (viewer/shaders/phong.rs; ViewerState::
+    RasterScene). Returns (H, W, 3) float rgb."""
+    import jax.numpy as jnp
+
+    from ..core.camera import generate_rays
+    from ..integrator import _scene_intersect
+    from ..ops import bsdf as bx
+    from ..ops import interaction as ia
+    from ..core import math as pm
+
+    w, h = camera.resolution
+    xs, ys = np.meshgrid(np.arange(w), np.arange(h), indexing="xy")
+    p_film = jnp.asarray(
+        np.stack([xs.ravel() + 0.5, ys.ravel() + 0.5], -1), jnp.float32)
+    r2c, rot, pos = camera.ray_params()
+    o, d = generate_rays(r2c, rot, pos, p_film)
+    hit = _scene_intersect(scene, o, d,
+                           jnp.full((w * h,), jnp.inf, jnp.float32))
+    it = ia.make_interaction(scene.data, o, d, hit, scene.tri_attr)
+    mp = bx.gather_params(scene.data, it["material"], it["uv"],
+                          mat_attr=scene.mat_attr, has_tex=scene.has_tex,
+                          tex_channels=scene.tex_channels)
+    shade = mp["kd"] * jnp.abs(pm.dot(it["ns"], -d))[..., None] \
+        + ia.emitted_radiance(it, -d)
+    rgb = jnp.where(hit["valid"][..., None], shade, 0.05)
+    return np.asarray(rgb).reshape(h, w, 3)
+
+
 @dataclasses.dataclass
 class ViewerState:
     camera: object
@@ -51,6 +82,7 @@ class ViewerState:
     restart: bool = False  # explicit R
     save: bool = False
     quit: bool = False
+    preview: bool = False  # 'p': show the raster-preview analogue
 
 
 def dispatch_key(state: ViewerState, key: str) -> ViewerState:
@@ -69,6 +101,8 @@ def dispatch_key(state: ViewerState, key: str) -> ViewerState:
         log.info("pixel samples: %d", state.spp)
     elif key == "o":
         state.save = True
+    elif key == "p":
+        state.preview = True
     elif key == "t":
         cycle_level()
     elif isinstance(ctl, OrbitalCameraController):
@@ -183,6 +217,8 @@ def run(camera, scene, integrator, output_path: str,
                 break
             if state.dirty:
                 state.camera = ctl.update_camera(state.camera, dt=1.0)
+                if tev.connected:  # instant feedback while moving
+                    tev.update_image(preview_frame(state.camera, scene))
                 continue
             if state.restart:
                 continue
@@ -195,6 +231,10 @@ def run(camera, scene, integrator, output_path: str,
                     write_png(output_path, to_rgb8(film))
                     log.info("saved %s", output_path)
                     state.save = False
+                if state.preview:
+                    if tev.connected:
+                        tev.update_image(preview_frame(state.camera, scene))
+                    state.preview = False
                 if max_frames is not None:
                     break
             if state.dirty:

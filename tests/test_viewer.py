@@ -109,3 +109,19 @@ def test_interactive_headless_frame(tmp_path, monkeypatch):
     assert film is not None
     import os
     assert os.path.exists(out)
+
+
+def test_preview_frame_shades_albedo():
+    """preview_frame (RasterScene analogue) returns an albedo-shaded
+    primary-visibility image: walls colored, background dim."""
+    from pathtracer_tpu.frontend.interactive import preview_frame
+    from pathtracer_tpu.integrator import TracedScene
+    from pathtracer_tpu.scene.mitsuba import load_mitsuba
+    cam, sd, _ = load_mitsuba("data/cornell-box.xml", resolution=(24, 24))
+    rgb = preview_frame(cam, TracedScene.create(sd, use_pallas=False))
+    assert rgb.shape == (24, 24, 3)
+    assert np.isfinite(rgb).all()
+    mid = rgb[8:16]
+    # red wall left of image, green wall right (albedo shading visible)
+    assert mid[:, :6, 0].mean() > mid[:, :6, 1].mean()
+    assert mid[:, -6:, 1].mean() > mid[:, -6:, 0].mean()
