@@ -186,6 +186,7 @@ class HostScene:
                      "uv2", "material_id", "area_light_id", "light_emit",
                      "light_tri", "light_type", "mat_kd", "mat_type",
                      "mat_ks", "mat_eta", "mat_k", "mat_rough", "mat_remap",
+                     "mat_misc",
                      "light_vec", "env_map", "env_cond_func", "env_cond_cdf",
                      "env_cond_int", "env_marg_func", "env_marg_cdf",
                      "env_to_world", "world_to_env"):
@@ -303,6 +304,7 @@ def lambertian_f(kd):  # bxdf/mod.rs:195-231
 
 
 MAT_MATTE, MAT_MIRROR, MAT_GLASS, MAT_METAL = 0, 1, 2, 3
+MAT_DISNEY = 5
 LIGHT_AREA, LIGHT_POINT, LIGHT_DISTANT, LIGHT_INFINITE = 0, 1, 2, 3
 
 
@@ -481,6 +483,64 @@ def mf_reflection_f(hs, m, wo, wi):
             / (4.0 * cos_i * cos_o)).astype(np.float32)
 
 
+def _schlick_weight(c):
+    m = min(max(1.0 - c, 0.0), 1.0)
+    return F((m * m) * (m * m) * m)
+
+
+def disney_params(hs, m):
+    """Derived Disney quantities (ref disney.rs:172-240, subset)."""
+    c = hs.mat_kd[m].astype(np.float32)
+    metallic = F(hs.mat_misc[m][0])
+    rough_d = F(hs.mat_misc[m][1])
+    alpha = max(F(0.001), F(rough_d * rough_d))
+    eta = F(hs.mat_eta[m][0])
+    r0 = F((eta - 1.0) ** 2 / (eta + 1.0) ** 2)
+    c_spec0 = (r0 * (1.0 - metallic) + c * metallic).astype(np.float32)
+    dif_c = ((1.0 - metallic) * c).astype(np.float32)
+    return dif_c, c_spec0, metallic, eta, alpha
+
+
+def disney_fresnel_s(c_spec0, metallic, eta, cos_i):
+    """Lerp dielectric<->Schlick by metallic (disney.rs:128-136)."""
+    diel = fr_dielectric(F(cos_i), F(1.0), eta)
+    schlick = (c_spec0 + (1.0 - c_spec0)
+               * _schlick_weight(cos_i)).astype(np.float32)
+    return ((1.0 - metallic) * diel + metallic * schlick).astype(np.float32)
+
+
+def disney_f(hs, m, wo, wi):
+    """DisneyDiffuse + MicrofacetReflection(DisneyFresnel, separable G)
+    (disney.rs:84-91,139-170)."""
+    dif_c, c_spec0, metallic, eta, alpha = disney_params(hs, m)
+    fo = _schlick_weight(abs(F(wo[2])))
+    fi = _schlick_weight(abs(F(wi[2])))
+    f = (dif_c * INV_PI * (1.0 - fo / 2.0)
+         * (1.0 - fi / 2.0)).astype(np.float32)
+    cos_o, cos_i = F(abs(wo[2])), F(abs(wi[2]))
+    wh = (wi + wo).astype(np.float32)
+    if cos_i != 0.0 and cos_o != 0.0 and \
+            not (wh[0] == 0.0 and wh[1] == 0.0 and wh[2] == 0.0):
+        wh = normalize(wh)
+        fr = disney_fresnel_s(c_spec0, metallic, eta, dot(wi, wh))
+        # Disney uses SEPARABLE Smith G = G1(wo) G1(wi) (disney.rs:159-161)
+        g = F(tr_g1(wo, alpha, alpha) * tr_g1(wi, alpha, alpha))
+        f = (f + tr_d(wh, alpha, alpha) * g * fr
+             / (4.0 * cos_i * cos_o)).astype(np.float32)
+    return f
+
+
+def disney_pdf(hs, m, wo, wi):
+    """Average of the two matching lobes' pdfs (bsdf.rs:189-222)."""
+    if wo[2] * wi[2] <= 0.0:
+        return F(0.0)
+    _, _, _, _, alpha = disney_params(hs, m)
+    wh = normalize((wo + wi).astype(np.float32))
+    return F(0.5 * (abs(F(wi[2])) * INV_PI
+                    + tr_pdf(wo, wh, alpha, alpha)
+                    / (4.0 * dot(wo, wh))))
+
+
 def bsdf_has_nonspecular(hs, m):
     """num_components(ALL - SPECULAR) > 0 (integrator.rs:443-447)."""
     return int(hs.mat_type[m]) not in (MAT_MIRROR, MAT_GLASS)
@@ -498,6 +558,8 @@ def bsdf_f(hs, it, wo_w, wi_w):
         return lambertian_f(hs.mat_kd[m])
     if mt == MAT_METAL:
         return mf_reflection_f(hs, m, wo, to_local(it, wi_w))
+    if mt == MAT_DISNEY:
+        return disney_f(hs, m, wo, to_local(it, wi_w))
     return v3(0.0, 0.0, 0.0)  # specular-only (mirror/glass): f = 0
 
 
@@ -516,6 +578,8 @@ def bsdf_pdf(hs, it, wo_w, wi_w):
         wh = normalize((wo + wi).astype(np.float32))
         ax, ay = mat_alpha(hs, m)
         return F(tr_pdf(wo, wh, ax, ay) / (4.0 * dot(wo, wh)))
+    if mt == MAT_DISNEY:
+        return disney_pdf(hs, m, wo, wi)
     return F(0.0)  # specular lobes: pdf = 0
 
 
@@ -566,6 +630,32 @@ def bsdf_sample_f(hs, it, wo_w, u):
         pdf = F(tr_pdf(wo, wh, ax, ay) / (4.0 * dot(wo, wh)))
         f = mf_reflection_f(hs, m, wo, wi)
         return f, to_world(it, wi), pdf, False, False
+    if mt == MAT_DISNEY:
+        # two matching lobes: uniform component pick + u0 remap, then
+        # f/pdf re-evaluated over BOTH lobes with ng hemisphere routing
+        # (bsdf.rs:83-147)
+        _, _, _, _, alpha = disney_params(hs, m)
+        comp = min(int(u[0] * 2.0), 1)
+        ud = (F(u[0] * 2.0 - comp), u[1])
+        if comp == 0:
+            wi = cosine_sample_hemisphere(ud)
+            if wo[2] < 0.0:
+                wi[2] = -wi[2]
+            lobe_ok = True
+        else:
+            if wo[2] == 0.0:
+                return v3(0.0, 0.0, 0.0), wo_w, F(0.0), False, False
+            wh = tr_sample_wh(wo, ud, alpha, alpha)
+            if dot(wo, wh) < 0.0:
+                return v3(0.0, 0.0, 0.0), wo_w, F(0.0), False, False
+            wi = reflect_vec(wo, wh)
+            lobe_ok = True
+        wi_w = to_world(it, wi)
+        pdf = disney_pdf(hs, m, wo, wi) if lobe_ok else F(0.0)
+        reflect = dot(wi_w, it["ng"]) * dot(wo_w, it["ng"]) > 0.0
+        f = disney_f(hs, m, wo, wi) if (lobe_ok and reflect) \
+            else v3(0.0, 0.0, 0.0)
+        return f, wi_w, pdf, False, False
     # matte (bxdf/mod.rs:103-121); single lobe -> no ng-recompute
     # (bsdf.rs:118-119 only re-evaluates when matching_comps > 1)
     wi = cosine_sample_hemisphere(u)

@@ -169,3 +169,36 @@ def test_scalar_parity_envmap(frame):
     # sky (escaped rays), sphere highlight, ground (env NEE + MIS)
     pixels = [(32, 8), (32, 30), (20, 50), (50, 50), (8, 20)]
     _parity_check(cam, sd, pixels, frame, max_depth=4, rtol=2e-4)
+
+
+def _disney_scene():
+    """Matte room + Disney panels (dielectric rough + metallic) under an
+    area light: exercises DisneyDiffuse + DisneyFresnel microfacet with
+    the separable Smith G and the 2-lobe sample_f remap
+    (disney.rs:84-170, bsdf.rs:83-147) — the Sponza flagship material."""
+    from pathtracer_tpu.scene.scene import MAT_DISNEY
+    b = SceneBuilder()
+    _room(b)
+    _ceiling_light(b)
+    rough_diel = b.add_material(mtype=MAT_DISNEY, kd=(0.7, 0.3, 0.2),
+                                eta=(1.5, 1.5, 1.5),
+                                misc=(0.0, 0.5, 0.0, 0.0))
+    metallic = b.add_material(mtype=MAT_DISNEY, kd=(0.9, 0.7, 0.3),
+                              eta=(1.5, 1.5, 1.5),
+                              misc=(0.9, 0.2, 0.0, 0.0))
+    pos, idx, nrm, _ = meshgen.gen_rectangle()
+    m = _plane_matrix([1.5, 0, 0], [0, 1.5, 0], [-1.6, 2.2, -2.9])
+    p, n = meshgen.transform_mesh(pos, nrm, m)
+    b.add_mesh(p, idx, n, None, rough_diel)
+    m = _plane_matrix([1.5, 0, 0], [0, 1.5, 0], [1.6, 2.2, -2.9])
+    p, n = meshgen.transform_mesh(pos, nrm, m)
+    b.add_mesh(p, idx, n, None, metallic)
+    return _camera((64, 64)), b.build()
+
+
+@pytest.mark.parametrize("frame", [0, 2])
+def test_scalar_parity_disney(frame):
+    cam, sd = _disney_scene()
+    # left panel (rough dielectric), right panel (metallic), matte wall
+    pixels = [(20, 28), (16, 24), (44, 28), (48, 24), (32, 50)]
+    _parity_check(cam, sd, pixels, frame, max_depth=4, rtol=2e-4)
