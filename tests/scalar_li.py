@@ -22,9 +22,14 @@ Scope (round 3): matte + mirror (SpecularReflection/FresnelNoOp,
 material/mod.rs:181-195) + glass (FresnelSpecular, fresnel.rs:215-293,
 material/mod.rs:216-235) + GGX metal (MicrofacetReflection +
 FresnelConductor + TrowbridgeReitz visible-normal sampling,
-microfacet.rs:32-252, material/metal.rs:55-93); area + point + distant
-lights (light.rs:86-230) + the infinite env light (2D-CDF importance
-sampling + pdf_li + le, light.rs:401-498, sampling.rs:128-184).
+microfacet.rs:32-252, material/metal.rs:55-93) + SUBSTRATE
+(FresnelBlend, microfacet.rs:408-469) + DISNEY subset (DisneyDiffuse +
+DisneyFresnel microfacet with separable Smith G and the 2-lobe
+sample_f remap, disney.rs:84-170, bsdf.rs:83-147); area + point +
+distant lights (light.rs:86-230) + the infinite env light (2D-CDF
+importance sampling + pdf_li + le, light.rs:401-498,
+sampling.rs:128-184). Every non-specular material class the framework
+ships is cross-validated per-path against this scalar oracle.
 """
 
 import numpy as np
@@ -304,7 +309,7 @@ def lambertian_f(kd):  # bxdf/mod.rs:195-231
 
 
 MAT_MATTE, MAT_MIRROR, MAT_GLASS, MAT_METAL = 0, 1, 2, 3
-MAT_DISNEY = 5
+MAT_SUBSTRATE, MAT_DISNEY = 4, 5
 LIGHT_AREA, LIGHT_POINT, LIGHT_DISTANT, LIGHT_INFINITE = 0, 1, 2, 3
 
 
@@ -541,6 +546,42 @@ def disney_pdf(hs, m, wo, wi):
                     / (4.0 * dot(wo, wh))))
 
 
+def _pow5(v):
+    return F((v * v) * (v * v) * v)
+
+
+def fresnel_blend_f(hs, m, wo, wi):
+    """Ashikhmin-Shirley substrate f (ref microfacet.rs:408-427)."""
+    rd = hs.mat_kd[m].astype(np.float32)
+    rs = hs.mat_ks[m].astype(np.float32)
+    ax, ay = mat_alpha(hs, m)
+    diffuse = ((28.0 / (23.0 * np.pi)) * rd * (1.0 - rs)
+               * (1.0 - _pow5(1.0 - 0.5 * abs(F(wi[2]))))
+               * (1.0 - _pow5(1.0 - 0.5 * abs(F(wo[2]))))
+               ).astype(np.float32)
+    wh = (wi + wo).astype(np.float32)
+    if wh[0] == 0.0 and wh[1] == 0.0 and wh[2] == 0.0:
+        return v3(0.0, 0.0, 0.0)
+    wh = normalize(wh)
+    schlick = (rs + _pow5(1.0 - dot(wi, wh)) * (1.0 - rs)) \
+        .astype(np.float32)
+    spec = (tr_d(wh, ax, ay)
+            / (4.0 * abs(dot(wi, wh))
+               * max(abs(F(wi[2])), abs(F(wo[2])))) * schlick) \
+        .astype(np.float32)
+    return (diffuse + spec).astype(np.float32)
+
+
+def fresnel_blend_pdf(hs, m, wo, wi):
+    """(ref microfacet.rs:461-469)."""
+    if wo[2] * wi[2] <= 0.0:
+        return F(0.0)
+    ax, ay = mat_alpha(hs, m)
+    wh = normalize((wo + wi).astype(np.float32))
+    return F(0.5 * (abs(F(wi[2])) * INV_PI
+                    + tr_pdf(wo, wh, ax, ay) / (4.0 * dot(wo, wh))))
+
+
 def bsdf_has_nonspecular(hs, m):
     """num_components(ALL - SPECULAR) > 0 (integrator.rs:443-447)."""
     return int(hs.mat_type[m]) not in (MAT_MIRROR, MAT_GLASS)
@@ -560,6 +601,8 @@ def bsdf_f(hs, it, wo_w, wi_w):
         return mf_reflection_f(hs, m, wo, to_local(it, wi_w))
     if mt == MAT_DISNEY:
         return disney_f(hs, m, wo, to_local(it, wi_w))
+    if mt == MAT_SUBSTRATE:
+        return fresnel_blend_f(hs, m, wo, to_local(it, wi_w))
     return v3(0.0, 0.0, 0.0)  # specular-only (mirror/glass): f = 0
 
 
@@ -580,6 +623,8 @@ def bsdf_pdf(hs, it, wo_w, wi_w):
         return F(tr_pdf(wo, wh, ax, ay) / (4.0 * dot(wo, wh)))
     if mt == MAT_DISNEY:
         return disney_pdf(hs, m, wo, wi)
+    if mt == MAT_SUBSTRATE:
+        return fresnel_blend_pdf(hs, m, wo, wi)
     return F(0.0)  # specular lobes: pdf = 0
 
 
@@ -656,6 +701,26 @@ def bsdf_sample_f(hs, it, wo_w, u):
         f = disney_f(hs, m, wo, wi) if (lobe_ok and reflect) \
             else v3(0.0, 0.0, 0.0)
         return f, wi_w, pdf, False, False
+    if mt == MAT_SUBSTRATE:
+        # FresnelBlend sample (microfacet.rs:433-459): half cosine, half
+        # visible-normal spec, u0 remapped; ONE component -> no ng
+        # recompute (bsdf.rs:118-119)
+        ax, ay = mat_alpha(hs, m)
+        if u[0] < 0.5:
+            us = (F(min(2.0 * u[0], ONE_MINUS_EPSILON)), u[1])
+            wi = cosine_sample_hemisphere(us)
+            if wo[2] < 0.0:
+                wi[2] = -wi[2]
+        else:
+            us = (F(min(2.0 * (u[0] - 0.5), ONE_MINUS_EPSILON)), u[1])
+            wh = tr_sample_wh(wo, us, ax, ay)
+            wi = reflect_vec(wo, wh)
+            if wo[2] * wi[2] <= 0.0:
+                return v3(0.0, 0.0, 0.0), to_world(it, wi), F(0.0), \
+                    False, False
+        pdf = fresnel_blend_pdf(hs, m, wo, wi)
+        f = fresnel_blend_f(hs, m, wo, wi)
+        return f, to_world(it, wi), pdf, False, False
     # matte (bxdf/mod.rs:103-121); single lobe -> no ng-recompute
     # (bsdf.rs:118-119 only re-evaluates when matching_comps > 1)
     wi = cosine_sample_hemisphere(u)

@@ -202,3 +202,26 @@ def test_scalar_parity_disney(frame):
     # left panel (rough dielectric), right panel (metallic), matte wall
     pixels = [(20, 28), (16, 24), (44, 28), (48, 24), (32, 50)]
     _parity_check(cam, sd, pixels, frame, max_depth=4, rtol=2e-4)
+
+
+def _substrate_scene():
+    """Matte room + FresnelBlend substrate panel under the area light
+    (material/substrate.rs:42-69, microfacet.rs:408-469)."""
+    from pathtracer_tpu.scene.scene import MAT_SUBSTRATE
+    b = SceneBuilder()
+    _room(b)
+    _ceiling_light(b)
+    sub = b.add_material(mtype=MAT_SUBSTRATE, kd=(0.5, 0.2, 0.2),
+                         ks=(0.4, 0.4, 0.4), rough=(0.3, 0.3), remap=True)
+    pos, idx, nrm, _ = meshgen.gen_rectangle()
+    m = _plane_matrix([1.8, 0, 0], [0, 1.8, 0], [0.0, 2.2, -2.9])
+    p, n = meshgen.transform_mesh(pos, nrm, m)
+    b.add_mesh(p, idx, n, None, sub)
+    return _camera((64, 64)), b.build()
+
+
+@pytest.mark.parametrize("frame", [0, 2])
+def test_scalar_parity_substrate(frame):
+    cam, sd = _substrate_scene()
+    pixels = [(32, 28), (26, 24), (40, 30), (32, 50), (12, 12)]
+    _parity_check(cam, sd, pixels, frame, max_depth=4, rtol=2e-4)
