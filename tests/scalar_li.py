@@ -25,11 +25,12 @@ FresnelConductor + TrowbridgeReitz visible-normal sampling,
 microfacet.rs:32-252, material/metal.rs:55-93) + SUBSTRATE
 (FresnelBlend, microfacet.rs:408-469) + DISNEY subset (DisneyDiffuse +
 DisneyFresnel microfacet with separable Smith G and the 2-lobe
-sample_f remap, disney.rs:84-170, bsdf.rs:83-147); area + point +
-distant lights (light.rs:86-230) + the infinite env light (2D-CDF
+sample_f remap, disney.rs:84-170, bsdf.rs:83-147) + ROUGHGLASS
+(MicrofacetReflection + MicrofacetTransmission with ng lobe routing,
+microfacet.rs:176-384); area + point + distant lights (light.rs:86-230) + the infinite env light (2D-CDF
 importance sampling + pdf_li + le, light.rs:401-498,
-sampling.rs:128-184). Every non-specular material class the framework
-ships is cross-validated per-path against this scalar oracle.
+sampling.rs:128-184). EVERY material class the framework ships is
+cross-validated per-path against this scalar oracle.
 """
 
 import numpy as np
@@ -309,7 +310,7 @@ def lambertian_f(kd):  # bxdf/mod.rs:195-231
 
 
 MAT_MATTE, MAT_MIRROR, MAT_GLASS, MAT_METAL = 0, 1, 2, 3
-MAT_SUBSTRATE, MAT_DISNEY = 4, 5
+MAT_SUBSTRATE, MAT_DISNEY, MAT_ROUGHGLASS = 4, 5, 6
 LIGHT_AREA, LIGHT_POINT, LIGHT_DISTANT, LIGHT_INFINITE = 0, 1, 2, 3
 
 
@@ -582,6 +583,82 @@ def fresnel_blend_pdf(hs, m, wo, wi):
                     + tr_pdf(wo, wh, ax, ay) / (4.0 * dot(wo, wh))))
 
 
+def mf_refl_dielectric_f(hs, m, wo, wi):
+    """MicrofacetReflection with dielectric fresnel (roughglass Kr lobe,
+    microfacet.rs:197-212 + fresnel.rs:21-40)."""
+    cos_o, cos_i = F(abs(wo[2])), F(abs(wi[2]))
+    wh = (wi + wo).astype(np.float32)
+    if cos_i == 0.0 or cos_o == 0.0 or \
+            (wh[0] == 0.0 and wh[1] == 0.0 and wh[2] == 0.0):
+        return v3(0.0, 0.0, 0.0)
+    wh = normalize(wh)
+    ax, ay = mat_alpha(hs, m)
+    eta_b = F(hs.mat_eta[m][0])
+    fr = fr_dielectric(dot(wi, wh), F(1.0), eta_b)
+    r = hs.mat_kd[m].astype(np.float32)
+    return (r * tr_d(wh, ax, ay) * tr_g(wo, wi, ax, ay) * fr
+            / (4.0 * cos_i * cos_o)).astype(np.float32)
+
+
+def mf_trans_f(hs, m, wo, wi):
+    """MicrofacetTransmission f (microfacet.rs:283-327, radiance mode;
+    hemisphere/eta per ops/bsdf._mf_trans_f's corrected semantics)."""
+    cto, cti = F(abs(wo[2])), F(abs(wi[2]))
+    if cti == 0.0 or cto == 0.0 or wo[2] * wi[2] > 0.0:
+        return v3(0.0, 0.0, 0.0)
+    eta_b = F(hs.mat_eta[m][0])
+    eta = eta_b if wo[2] > 0.0 else F(1.0 / eta_b)
+    wh = (wo + eta * wi).astype(np.float32)
+    if dot(wh, wh) == 0.0:
+        return v3(0.0, 0.0, 0.0)
+    wh = normalize(wh)
+    if wh[2] < 0.0:
+        wh = (-wh).astype(np.float32)
+    d_o, d_i = dot(wo, wh), dot(wi, wh)
+    if d_o * d_i > 0.0:
+        return v3(0.0, 0.0, 0.0)
+    fr = fr_dielectric(d_o, F(1.0), eta_b)
+    sqrt_denom = F(d_o + eta * d_i)
+    factor = F(1.0 / eta)
+    ax, ay = mat_alpha(hs, m)
+    t = hs.mat_ks[m].astype(np.float32)
+    val = ((1.0 - fr) * t * abs(
+        tr_d(wh, ax, ay) * tr_g(wo, wi, ax, ay) * eta * eta
+        * abs(d_i) * abs(d_o) * factor * factor
+        / max(cti * cto * sqrt_denom * sqrt_denom, F(1e-20))))
+    return val.astype(np.float32)
+
+
+def mf_trans_pdf(hs, m, wo, wi):
+    """tr_pdf(wo, wh) x |dwh/dwi| (microfacet.rs:362-383 corrected)."""
+    if wo[2] * wi[2] > 0.0:
+        return F(0.0)
+    eta_b = F(hs.mat_eta[m][0])
+    eta = eta_b if wo[2] > 0.0 else F(1.0 / eta_b)
+    wh = (wo + eta * wi).astype(np.float32)
+    if dot(wh, wh) == 0.0:
+        return F(0.0)
+    wh = normalize(wh)
+    d_o, d_i = dot(wo, wh), dot(wi, wh)
+    if d_o * d_i > 0.0:
+        return F(0.0)
+    sqrt_denom = F(d_o + eta * d_i)
+    ax, ay = mat_alpha(hs, m)
+    dwh_dwi = F(abs(eta * eta * d_i)
+                / max(sqrt_denom * sqrt_denom, F(1e-20)))
+    return F(tr_pdf(wo, wh, ax, ay) * dwh_dwi)
+
+
+def roughglass_pdf(hs, m, wo, wi):
+    """Average over the two matching lobes (bsdf.rs:189-222)."""
+    ax, ay = mat_alpha(hs, m)
+    refl = F(0.0)
+    if wo[2] * wi[2] > 0.0:
+        wh = normalize((wo + wi).astype(np.float32))
+        refl = F(tr_pdf(wo, wh, ax, ay) / (4.0 * dot(wo, wh)))
+    return F(0.5 * (refl + mf_trans_pdf(hs, m, wo, wi)))
+
+
 def bsdf_has_nonspecular(hs, m):
     """num_components(ALL - SPECULAR) > 0 (integrator.rs:443-447)."""
     return int(hs.mat_type[m]) not in (MAT_MIRROR, MAT_GLASS)
@@ -593,7 +670,14 @@ def bsdf_f(hs, it, wo_w, wi_w):
     mt = int(hs.mat_type[m])
     reflect = dot(wi_w, it["ng"]) * dot(wo_w, it["ng"]) > 0.0
     wo = to_local(it, wo_w)
-    if wo[2] == 0.0 or not reflect:
+    if wo[2] == 0.0:
+        return v3(0.0, 0.0, 0.0)
+    if mt == MAT_ROUGHGLASS:
+        # ng routes to the reflection OR transmission lobe (bsdf.rs:172-186)
+        wi = to_local(it, wi_w)
+        return mf_refl_dielectric_f(hs, m, wo, wi) if reflect \
+            else mf_trans_f(hs, m, wo, wi)
+    if not reflect:
         return v3(0.0, 0.0, 0.0)
     if mt == MAT_MATTE:
         return lambertian_f(hs.mat_kd[m])
@@ -625,6 +709,8 @@ def bsdf_pdf(hs, it, wo_w, wi_w):
         return disney_pdf(hs, m, wo, wi)
     if mt == MAT_SUBSTRATE:
         return fresnel_blend_pdf(hs, m, wo, wi)
+    if mt == MAT_ROUGHGLASS:
+        return roughglass_pdf(hs, m, wo, wi)
     return F(0.0)  # specular lobes: pdf = 0
 
 
@@ -701,6 +787,34 @@ def bsdf_sample_f(hs, it, wo_w, u):
         f = disney_f(hs, m, wo, wi) if (lobe_ok and reflect) \
             else v3(0.0, 0.0, 0.0)
         return f, wi_w, pdf, False, False
+    if mt == MAT_ROUGHGLASS:
+        # two lobes {MicrofacetReflection, MicrofacetTransmission}:
+        # uniform pick + u0 remap, f/pdf re-evaluated over both with ng
+        # routing (bsdf.rs:83-147; ops/bsdf.py sample_f roughglass)
+        ax, ay = mat_alpha(hs, m)
+        eta_b = F(hs.mat_eta[m][0])
+        take_refl = u[0] < 0.5
+        u0g = F(min(2.0 * u[0], ONE_MINUS_EPSILON)) if take_refl \
+            else F(min(2.0 * (u[0] - 0.5), ONE_MINUS_EPSILON))
+        wh = tr_sample_wh(wo, (u0g, u[1]), ax, ay)
+        if wo[2] == 0.0 or dot(wo, wh) < 0.0:
+            return v3(0.0, 0.0, 0.0), wo_w, F(0.0), False, False
+        if take_refl:
+            wi = reflect_vec(wo, wh)
+            if wo[2] * wi[2] <= 0.0:
+                return v3(0.0, 0.0, 0.0), to_world(it, wi), F(0.0), \
+                    False, False
+        else:
+            eta_ratio = F(1.0 / eta_b) if wo[2] > 0.0 else eta_b
+            wi = refract_vec(wo, wh, eta_ratio)
+            if wi is None:
+                return v3(0.0, 0.0, 0.0), wo_w, F(0.0), False, True
+        wi_w = to_world(it, wi)
+        reflect = dot(wi_w, it["ng"]) * dot(wo_w, it["ng"]) > 0.0
+        f = mf_refl_dielectric_f(hs, m, wo, wi) if reflect \
+            else mf_trans_f(hs, m, wo, wi)
+        pdf = roughglass_pdf(hs, m, wo, wi)
+        return f, wi_w, pdf, False, not reflect
     if mt == MAT_SUBSTRATE:
         # FresnelBlend sample (microfacet.rs:433-459): half cosine, half
         # visible-normal spec, u0 remapped; ONE component -> no ng

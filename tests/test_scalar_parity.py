@@ -225,3 +225,29 @@ def test_scalar_parity_substrate(frame):
     cam, sd = _substrate_scene()
     pixels = [(32, 28), (26, 24), (40, 30), (32, 50), (12, 12)]
     _parity_check(cam, sd, pixels, frame, max_depth=4, rtol=2e-4)
+
+
+def _roughglass_scene():
+    """Matte room + rough-glass panel (MicrofacetReflection +
+    MicrofacetTransmission, microfacet.rs:176-384): the camera sees the
+    back wall THROUGH the panel plus its glossy reflection."""
+    from pathtracer_tpu.scene.scene import MAT_ROUGHGLASS
+    b = SceneBuilder()
+    _room(b)
+    _ceiling_light(b)
+    rg = b.add_material(mtype=MAT_ROUGHGLASS, kd=(1.0, 1.0, 1.0),
+                        ks=(1.0, 1.0, 1.0), eta=(1.5, 1.5, 1.5),
+                        rough=(0.2, 0.2), remap=True)
+    pos, idx, nrm, _ = meshgen.gen_rectangle()
+    m = _plane_matrix([1.5, 0, 0], [0, 1.5, 0], [0.0, 2.0, 0.5])
+    p, n = meshgen.transform_mesh(pos, nrm, m)
+    b.add_mesh(p, idx, n, None, rg)
+    return _camera((64, 64)), b.build()
+
+
+@pytest.mark.parametrize("frame", [0, 2])
+def test_scalar_parity_roughglass(frame):
+    cam, sd = _roughglass_scene()
+    # through-panel pixels + off-panel matte wall
+    pixels = [(32, 30), (28, 26), (38, 34), (8, 8), (56, 50)]
+    _parity_check(cam, sd, pixels, frame, max_depth=4, rtol=2e-4)
