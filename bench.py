@@ -82,7 +82,25 @@ def main():
     except Exception:  # noqa: BLE001 — no cache yet
         pass
 
-    cornell = bench_cornell()
+    def _alarm(signum, frame):
+        raise _Timeout()
+
+    signal.signal(signal.SIGALRM, _alarm)
+
+    # cornell leg under its own budget: a wedged tunnel (dead relay —
+    # attaches hang forever) must still exit with the stale line standing
+    signal.alarm(int(os.environ.get("BENCH_CORNELL_BUDGET_S", "900")))
+    try:
+        cornell = bench_cornell()
+        signal.alarm(0)
+    except _Timeout:
+        print("cornell leg timed out (tunnel wedged?); stale line stands",
+              file=sys.stderr, flush=True)
+        return
+    except Exception:  # noqa: BLE001
+        signal.alarm(0)
+        traceback.print_exc()
+        return
     out = {
         "metric": "cornell_640x480_16spp_d5_mrays_per_sec",
         "unit": "Mrays/s",
@@ -98,10 +116,6 @@ def main():
     except Exception:  # noqa: BLE001
         pass
 
-    def _alarm(signum, frame):
-        raise _Timeout()
-
-    signal.signal(signal.SIGALRM, _alarm)
     signal.alarm(SPONZA_BUDGET_S)
     try:
         sponza = bench_sponza()
