@@ -3,6 +3,14 @@
 Usage: python tools/probe_bvh8.py [n_rays]
 """
 
+import sys
+
+sys.exit("RETIRED: this probe targets the bvh2 unified-row layout, which\n"
+         "TracedScene no longer builds (superseded by accel/bvhw BVH32).\n"
+         "Its measurements are recorded in PLAN.md; use tools/tpu_session.py\n"
+         "for current-layout traversal timings.")
+
+
 import os
 import sys
 import time
