@@ -730,8 +730,13 @@ def _wave_flags(scene, cfg):
     # strong predictor of this bounce's cost) so each sub-wave chunk's
     # while_loop trips to a similar bound instead of the global max.
     compact = scene.bw_rows is not None
-    sort_waves = compact and scene.bw_rows.shape[0] >= 2048
+    sort_waves = compact and scene.bw_rows.shape[0] >= _SORT_MIN_ROWS
     return do_nee, one_sample, pick_prob, compact, sort_waves
+
+
+# trees below this row count skip the per-bounce cost sort (tiny trees
+# traverse in a handful of iterations; sorting costs more than it saves)
+_SORT_MIN_ROWS = 2048
 
 
 def _wave_init(scene, cfg, o, d):

@@ -228,3 +228,18 @@ def test_segmented_band_matches_unrolled(cornell, monkeypatch):
         np.testing.assert_allclose(np.asarray(f_seg), f_u,
                                    rtol=2e-4, atol=2e-5,
                                    err_msg=c.mis_mode)
+
+
+def test_sorted_waves_match_unsorted(cornell, monkeypatch):
+    """The per-bounce cost sort (argsort by previous traversal steps +
+    inverse permutation, integrator._wave_bounce) must not change the
+    film — only the lane order inside the traversal."""
+    import pathtracer_tpu.integrator as intg
+    from pathtracer_tpu.integrator import TracedScene
+    cam, sd, _ = cornell
+    scene = TracedScene.create(sd, use_bvh=True, use_pallas=False)
+    cfg = PathConfig(max_depth=3)
+    f_plain = np.asarray(PathIntegrator(cfg, spp=2).render(cam, scene))
+    monkeypatch.setattr(intg, "_SORT_MIN_ROWS", 1)
+    f_sorted = np.asarray(PathIntegrator(cfg, spp=2).render(cam, scene))
+    np.testing.assert_allclose(f_sorted, f_plain, rtol=2e-4, atol=2e-5)
