@@ -263,19 +263,13 @@ def _slab32(row, o, inv_d, t_best):
     return (tn <= tf) & (tf > 0.0) & (tn < t_best[:, None])
 
 
-def bvhw_intersect(table, o, d, t_max, any_hit: bool = False,
-                   count_steps: bool = False):
-    """Lockstep BVH32 traversal: ONE (N, 256) row gather per iteration.
-
-    table: (R, 256) device table from build_bvhw. Returns the
-    intersect_brute-style hit dict, or (N,) bool occlusion for any_hit.
-    Lanes with t_max <= 0 are dead on entry (wavefront compaction).
-    """
+def _traverse_setup(table, o, d, t_max, count_steps):
+    """Per-(sub-)wave traversal state + ray-geometry pack shared by the
+    plain and interleaved drivers."""
     n = o.shape[0]
     f32 = jnp.float32
     i32 = jnp.int32
     u32 = jnp.uint32
-    table = jnp.asarray(table)
     inv_d = 1.0 / d
     oct_ = ((d[:, 0] < 0).astype(i32) * 4 + (d[:, 1] < 0).astype(i32) * 2
             + (d[:, 2] < 0).astype(i32))
@@ -285,36 +279,19 @@ def bvhw_intersect(table, o, d, t_max, any_hit: bool = False,
     perm = (jnp.bitwise_xor(slot_ids >> 2, oct_[:, None]) << 2) \
         | (slot_ids & 3)                                           # (N, 32)
     bitvals = (jnp.uint32(1) << perm.astype(u32))                  # (N, 32)
-
-    def hits_to_mask(hits):
-        return jnp.sum(jnp.where(hits, bitvals, jnp.uint32(0)), axis=1,
-                       dtype=u32)
-
-    def pop_next(mask):
-        """(slot, mask') of the lowest set PERMUTED bit."""
-        low = mask & (jnp.uint32(0) - mask)           # isolate lowest bit
-        p = jax.lax.population_count(low - 1).astype(i32)  # ctz
-        p = jnp.minimum(p, 31)  # mask==0 lanes: keep shifts defined
-        slot = (jnp.bitwise_xor(p >> 2, oct_) << 2) | (p & 3)
-        return slot, mask & (mask - 1)                # clear lowest bit
-
-    def occ_of(row):
-        return (row[:, 193].astype(u32)
-                | (row[:, 194].astype(u32) << 16))
+    geom = dict(o=o, d=d, inv_d=inv_d, oct=oct_, bitvals=bitvals)
 
     root = table[0]
     root_hits = _slab32(jnp.broadcast_to(root[None, :], (n, WW)), o, inv_d,
                         t_max)
-    mask0 = hits_to_mask(root_hits)
+    mask0 = jnp.sum(jnp.where(root_hits, bitvals, jnp.uint32(0)), axis=1,
+                    dtype=u32)
     mask0 = jnp.where(t_max > 0.0, mask0, jnp.uint32(0))  # dead on entry
-    base0 = jnp.broadcast_to(root[192].astype(i32), (n,))
-    occ0 = jnp.broadcast_to(
-        root[193].astype(u32) | (root[194].astype(u32) << 16), (n,))
-
-    state = dict(
-        cur_base=base0,
+    st = dict(
+        cur_base=jnp.broadcast_to(root[192].astype(i32), (n,)),
         cur_mask=mask0,
-        cur_occ=occ0,
+        cur_occ=jnp.broadcast_to(
+            root[193].astype(u32) | (root[194].astype(u32) << 16), (n,)),
         sb=jnp.zeros((STACKW, n), i32),
         sm=jnp.zeros((STACKW, n), u32),
         so=jnp.zeros((STACKW, n), u32),
@@ -325,83 +302,101 @@ def bvhw_intersect(table, o, d, t_max, any_hit: bool = False,
         found=jnp.zeros((n,), bool),
     )
     if count_steps:
-        state["steps"] = jnp.zeros((n,), i32)
+        st["steps"] = jnp.zeros((n,), i32)
+    return st, geom
 
-    def live_mask(st):
-        live = (st["cur_mask"] != 0) | (st["sp"] > 0)
-        if any_hit:
-            live = live & ~st["found"]
-        return live
 
-    def body(st):
-        live = live_mask(st)
-        do_pop = (st["cur_mask"] == 0) & (st["sp"] > 0) & live
-        sb, sm, so = st["sb"], st["sm"], st["so"]
-        cur_base = jnp.where(do_pop, sb[0], st["cur_base"])
-        cur_mask = jnp.where(do_pop, sm[0], st["cur_mask"])
-        cur_occ = jnp.where(do_pop, so[0], st["cur_occ"])
-        sb = jnp.where(do_pop[None, :],
-                       jnp.concatenate([sb[1:], sb[:1] * 0], axis=0), sb)
-        sm = jnp.where(do_pop[None, :],
-                       jnp.concatenate([sm[1:], sm[:1] * 0], axis=0), sm)
-        so = jnp.where(do_pop[None, :],
-                       jnp.concatenate([so[1:], so[:1] * 0], axis=0), so)
-        sp = jnp.where(do_pop, st["sp"] - 1, st["sp"])
-        act = live & (cur_mask != 0)
+def _traverse_live(st, any_hit):
+    live = (st["cur_mask"] != 0) | (st["sp"] > 0)
+    if any_hit:
+        live = live & ~st["found"]
+    return live
 
-        slot, cur_mask = pop_next(cur_mask)
-        # children are stored compactly: row = base + rank of slot among
-        # the node's occupied slots
-        rank = jax.lax.population_count(
-            cur_occ & ((jnp.uint32(1) << slot.astype(u32))
-                       - jnp.uint32(1))).astype(i32)
-        child = jnp.where(act, cur_base + rank, 0)
 
-        row = table[child]  # THE one gather per iteration
-        is_leaf = row[:, 255] > 0.5
+def _traverse_step(table, st, geom, any_hit, count_steps):
+    """ONE traversal iteration: pop, gather the child row (THE one gather
+    per step), leaf-test or slab-test, push/descend. Shared by
+    bvhw_intersect (one while_loop) and bvhw_intersect_il (k sub-waves
+    advanced per loop body so their gathers pipeline)."""
+    i32 = jnp.int32
+    u32 = jnp.uint32
+    o, d, inv_d = geom["o"], geom["d"], geom["inv_d"]
+    oct_, bitvals = geom["oct"], geom["bitvals"]
+    n = o.shape[0]
 
-        # --- leaf: 25 inline watertight tests
-        t_best, tri, b, found = st["t_best"], st["tri"], st["b"], st["found"]
-        lact = act & is_leaf
-        for j in range(LEAFW):
-            t_j, b_j, h_j = watertight_hit_diag(
-                o, d, t_best, row[:, 9 * j:9 * j + 3],
-                row[:, 9 * j + 3:9 * j + 6], row[:, 9 * j + 6:9 * j + 9])
-            id_j = row[:, 9 * LEAFW + j].astype(i32)
-            take = lact & h_j & (id_j >= 0)
-            t_best = jnp.where(take, t_j, t_best)
-            tri = jnp.where(take, id_j, tri)
-            b = jnp.where(take[:, None], b_j, b)
-            found = found | take
+    live = _traverse_live(st, any_hit)
+    do_pop = (st["cur_mask"] == 0) & (st["sp"] > 0) & live
+    sb, sm, so = st["sb"], st["sm"], st["so"]
+    cur_base = jnp.where(do_pop, sb[0], st["cur_base"])
+    cur_mask = jnp.where(do_pop, sm[0], st["cur_mask"])
+    cur_occ = jnp.where(do_pop, so[0], st["cur_occ"])
+    sb = jnp.where(do_pop[None, :],
+                   jnp.concatenate([sb[1:], sb[:1] * 0], axis=0), sb)
+    sm = jnp.where(do_pop[None, :],
+                   jnp.concatenate([sm[1:], sm[:1] * 0], axis=0), sm)
+    so = jnp.where(do_pop[None, :],
+                   jnp.concatenate([so[1:], so[:1] * 0], axis=0), so)
+    sp = jnp.where(do_pop, st["sp"] - 1, st["sp"])
+    act = live & (cur_mask != 0)
 
-        # --- interior: slab-test the 32 grandchildren, descend
-        iact = act & ~is_leaf
-        hits = _slab32(row, o, inv_d, t_best) & iact[:, None]
-        new_mask = hits_to_mask(hits)
-        new_base = row[:, 192].astype(i32)
-        new_occ = occ_of(row)
-        descend = iact & (new_mask != 0)
-        push = descend & (cur_mask != 0)
-        sb = jnp.where(push[None, :],
-                       jnp.concatenate([cur_base[None], sb[:-1]], axis=0), sb)
-        sm = jnp.where(push[None, :],
-                       jnp.concatenate([cur_mask[None], sm[:-1]], axis=0), sm)
-        so = jnp.where(push[None, :],
-                       jnp.concatenate([cur_occ[None], so[:-1]], axis=0), so)
-        sp = jnp.where(push, sp + 1, sp)
-        cur_base = jnp.where(descend, new_base, cur_base)
-        cur_mask = jnp.where(descend, new_mask, cur_mask)
-        cur_occ = jnp.where(descend, new_occ, cur_occ)
+    # next child: lowest set PERMUTED bit (approximate front-to-back)
+    low = cur_mask & (jnp.uint32(0) - cur_mask)
+    p = jax.lax.population_count(low - 1).astype(i32)  # ctz
+    p = jnp.minimum(p, 31)  # mask==0 lanes: keep shifts defined
+    slot = (jnp.bitwise_xor(p >> 2, oct_) << 2) | (p & 3)
+    cur_mask = cur_mask & (cur_mask - 1)               # clear lowest bit
+    # children are stored compactly: row = base + rank of slot among the
+    # node's occupied slots
+    rank = jax.lax.population_count(
+        cur_occ & ((jnp.uint32(1) << slot.astype(u32))
+                   - jnp.uint32(1))).astype(i32)
+    child = jnp.where(act, cur_base + rank, 0)
 
-        out = dict(cur_base=cur_base, cur_mask=cur_mask, cur_occ=cur_occ,
-                   sb=sb, sm=sm, so=so,
-                   sp=sp, t_best=t_best, tri=tri, b=b, found=found)
-        if count_steps:
-            out["steps"] = st["steps"] + live.astype(i32)
-        return out
+    row = table[child]  # THE one gather per iteration
+    is_leaf = row[:, 255] > 0.5
 
-    final = jax.lax.while_loop(lambda st: jnp.any(live_mask(st)), body,
-                               state)
+    # --- leaf: 25 inline watertight tests
+    t_best, tri, b, found = st["t_best"], st["tri"], st["b"], st["found"]
+    lact = act & is_leaf
+    for j in range(LEAFW):
+        t_j, b_j, h_j = watertight_hit_diag(
+            o, d, t_best, row[:, 9 * j:9 * j + 3],
+            row[:, 9 * j + 3:9 * j + 6], row[:, 9 * j + 6:9 * j + 9])
+        id_j = row[:, 9 * LEAFW + j].astype(i32)
+        take = lact & h_j & (id_j >= 0)
+        t_best = jnp.where(take, t_j, t_best)
+        tri = jnp.where(take, id_j, tri)
+        b = jnp.where(take[:, None], b_j, b)
+        found = found | take
+
+    # --- interior: slab-test the 32 grandchildren, descend
+    iact = act & ~is_leaf
+    hits = _slab32(row, o, inv_d, t_best) & iact[:, None]
+    new_mask = jnp.sum(jnp.where(hits, bitvals, jnp.uint32(0)), axis=1,
+                       dtype=u32)
+    new_base = row[:, 192].astype(i32)
+    new_occ = row[:, 193].astype(u32) | (row[:, 194].astype(u32) << 16)
+    descend = iact & (new_mask != 0)
+    push = descend & (cur_mask != 0)
+    sb = jnp.where(push[None, :],
+                   jnp.concatenate([cur_base[None], sb[:-1]], axis=0), sb)
+    sm = jnp.where(push[None, :],
+                   jnp.concatenate([cur_mask[None], sm[:-1]], axis=0), sm)
+    so = jnp.where(push[None, :],
+                   jnp.concatenate([cur_occ[None], so[:-1]], axis=0), so)
+    sp = jnp.where(push, sp + 1, sp)
+
+    out = dict(cur_base=jnp.where(descend, new_base, cur_base),
+               cur_mask=jnp.where(descend, new_mask, cur_mask),
+               cur_occ=jnp.where(descend, new_occ, cur_occ),
+               sb=sb, sm=sm, so=so, sp=sp,
+               t_best=t_best, tri=tri, b=b, found=found)
+    if count_steps:
+        out["steps"] = st["steps"] + live.astype(i32)
+    return out
+
+
+def _traverse_result(final, any_hit, count_steps):
     if any_hit:
         return (final["found"], final["steps"]) if count_steps \
             else final["found"]
@@ -411,6 +406,23 @@ def bvhw_intersect(table, o, d, t_max, any_hit: bool = False,
     if count_steps:
         out["steps"] = final["steps"]
     return out
+
+
+def bvhw_intersect(table, o, d, t_max, any_hit: bool = False,
+                   count_steps: bool = False):
+    """Lockstep BVH32 traversal: ONE (N, 256) row gather per iteration.
+
+    table: (R, 256) device table from build_bvhw. Returns the
+    intersect_brute-style hit dict, or (N,) bool occlusion for any_hit.
+    Lanes with t_max <= 0 are dead on entry (wavefront compaction).
+    """
+    table = jnp.asarray(table)
+    st, geom = _traverse_setup(table, o, d, t_max, count_steps)
+    final = jax.lax.while_loop(
+        lambda s: jnp.any(_traverse_live(s, any_hit)),
+        lambda s: _traverse_step(table, s, geom, any_hit, count_steps),
+        st)
+    return _traverse_result(final, any_hit, count_steps)
 
 
 def bvhw_intersect_il(table, o, d, t_max, k: int = 2,
@@ -425,158 +437,33 @@ def bvhw_intersect_il(table, o, d, t_max, k: int = 2,
     n = o.shape[0]
     assert n % k == 0
     c = n // k
-    f32 = jnp.float32
-    i32 = jnp.int32
-    u32 = jnp.uint32
     table = jnp.asarray(table)
-
-    def occ_of(row):
-        return (row[:, 193].astype(u32)
-                | (row[:, 194].astype(u32) << 16))
-
-    subs = []
-    root = table[0]
-    for i in range(k):
-        oi = o[i * c:(i + 1) * c]
-        di = d[i * c:(i + 1) * c]
-        ti = t_max[i * c:(i + 1) * c]
-        inv_d = 1.0 / di
-        oct_ = ((di[:, 0] < 0).astype(i32) * 4
-                + (di[:, 1] < 0).astype(i32) * 2
-                + (di[:, 2] < 0).astype(i32))
-        slot_ids = jnp.arange(BW, dtype=i32)[None, :]
-        perm = (jnp.bitwise_xor(slot_ids >> 2, oct_[:, None]) << 2) \
-            | (slot_ids & 3)
-        bitvals = (jnp.uint32(1) << perm.astype(u32))
-        root_hits = _slab32(jnp.broadcast_to(root[None, :], (c, WW)),
-                            oi, inv_d, ti)
-        mask0 = jnp.sum(jnp.where(root_hits, bitvals, jnp.uint32(0)),
-                        axis=1, dtype=u32)
-        mask0 = jnp.where(ti > 0.0, mask0, jnp.uint32(0))
-        st = dict(
-            cur_base=jnp.broadcast_to(root[192].astype(i32), (c,)),
-            cur_mask=mask0,
-            cur_occ=jnp.broadcast_to(
-                root[193].astype(u32) | (root[194].astype(u32) << 16),
-                (c,)),
-            sb=jnp.zeros((STACKW, c), i32),
-            sm=jnp.zeros((STACKW, c), u32),
-            so=jnp.zeros((STACKW, c), u32),
-            sp=jnp.zeros((c,), i32),
-            t_best=ti,
-            tri=jnp.zeros((c,), i32),
-            b=jnp.zeros((c, 3), f32),
-            found=jnp.zeros((c,), bool),
-        )
-        if count_steps:
-            st["steps"] = jnp.zeros((c,), i32)
-        subs.append(dict(st=st, o=oi, d=di, inv_d=inv_d, oct=oct_,
-                         bitvals=bitvals))
-
-    def live_mask(st):
-        live = (st["cur_mask"] != 0) | (st["sp"] > 0)
-        if any_hit:
-            live = live & ~st["found"]
-        return live
-
-    def sub_body(st, oi, di, inv_d, oct_, bitvals):
-        live = live_mask(st)
-        do_pop = (st["cur_mask"] == 0) & (st["sp"] > 0) & live
-        sb, sm, so = st["sb"], st["sm"], st["so"]
-        cur_base = jnp.where(do_pop, sb[0], st["cur_base"])
-        cur_mask = jnp.where(do_pop, sm[0], st["cur_mask"])
-        cur_occ = jnp.where(do_pop, so[0], st["cur_occ"])
-        sb = jnp.where(do_pop[None, :],
-                       jnp.concatenate([sb[1:], sb[:1] * 0], axis=0), sb)
-        sm = jnp.where(do_pop[None, :],
-                       jnp.concatenate([sm[1:], sm[:1] * 0], axis=0), sm)
-        so = jnp.where(do_pop[None, :],
-                       jnp.concatenate([so[1:], so[:1] * 0], axis=0), so)
-        sp = jnp.where(do_pop, st["sp"] - 1, st["sp"])
-        act = live & (cur_mask != 0)
-
-        low = cur_mask & (jnp.uint32(0) - cur_mask)
-        p = jnp.minimum(jax.lax.population_count(low - 1).astype(i32), 31)
-        slot = (jnp.bitwise_xor(p >> 2, oct_) << 2) | (p & 3)
-        cur_mask = cur_mask & (cur_mask - 1)
-        rank = jax.lax.population_count(
-            cur_occ & ((jnp.uint32(1) << slot.astype(u32))
-                       - jnp.uint32(1))).astype(i32)
-        child = jnp.where(act, cur_base + rank, 0)
-        row = table[child]  # one of k independent gathers this iteration
-
-        is_leaf = row[:, 255] > 0.5
-        t_best, tri, b, found = (st["t_best"], st["tri"], st["b"],
-                                 st["found"])
-        lact = act & is_leaf
-        for j in range(LEAFW):
-            t_j, b_j, h_j = watertight_hit_diag(
-                oi, di, t_best, row[:, 9 * j:9 * j + 3],
-                row[:, 9 * j + 3:9 * j + 6], row[:, 9 * j + 6:9 * j + 9])
-            id_j = row[:, 9 * LEAFW + j].astype(i32)
-            take = lact & h_j & (id_j >= 0)
-            t_best = jnp.where(take, t_j, t_best)
-            tri = jnp.where(take, id_j, tri)
-            b = jnp.where(take[:, None], b_j, b)
-            found = found | take
-
-        iact = act & ~is_leaf
-        hits = _slab32(row, oi, inv_d, t_best) & iact[:, None]
-        new_mask = jnp.sum(jnp.where(hits, bitvals, jnp.uint32(0)),
-                           axis=1, dtype=u32)
-        new_base = row[:, 192].astype(i32)
-        new_occ = occ_of(row)
-        descend = iact & (new_mask != 0)
-        push = descend & (cur_mask != 0)
-        sb = jnp.where(push[None, :],
-                       jnp.concatenate([cur_base[None], sb[:-1]], axis=0),
-                       sb)
-        sm = jnp.where(push[None, :],
-                       jnp.concatenate([cur_mask[None], sm[:-1]], axis=0),
-                       sm)
-        so = jnp.where(push[None, :],
-                       jnp.concatenate([cur_occ[None], so[:-1]], axis=0),
-                       so)
-        sp = jnp.where(push, sp + 1, sp)
-        out = dict(cur_base=jnp.where(descend, new_base, cur_base),
-                   cur_mask=jnp.where(descend, new_mask, cur_mask),
-                   cur_occ=jnp.where(descend, new_occ, cur_occ),
-                   sb=sb, sm=sm, so=so, sp=sp,
-                   t_best=t_best, tri=tri, b=b, found=found)
-        if count_steps:
-            out["steps"] = st["steps"] + live.astype(i32)
-        return out
-
-    def body(sts):
-        return tuple(sub_body(sts[i], subs[i]["o"], subs[i]["d"],
-                              subs[i]["inv_d"], subs[i]["oct"],
-                              subs[i]["bitvals"])
-                     for i in range(k))
+    subs = [_traverse_setup(table, o[i * c:(i + 1) * c],
+                            d[i * c:(i + 1) * c], t_max[i * c:(i + 1) * c],
+                            count_steps)
+            for i in range(k)]
+    geoms = [g for _, g in subs]
 
     def cond(sts):
-        alive = live_mask(sts[0])
-        any_alive = jnp.any(alive)
+        alive = jnp.any(_traverse_live(sts[0], any_hit))
         for i in range(1, k):
-            any_alive = any_alive | jnp.any(live_mask(sts[i]))
-        return any_alive
+            alive = alive | jnp.any(_traverse_live(sts[i], any_hit))
+        return alive
 
-    finals = jax.lax.while_loop(cond, body,
-                                tuple(s["st"] for s in subs))
+    def body(sts):
+        return tuple(_traverse_step(table, sts[i], geoms[i], any_hit,
+                                    count_steps)
+                     for i in range(k))
+
+    finals = jax.lax.while_loop(cond, body, tuple(s for s, _ in subs))
+    outs = [_traverse_result(f, any_hit, count_steps) for f in finals]
     if any_hit:
-        got = jnp.concatenate([f["found"] for f in finals])
         if count_steps:
-            return got, jnp.concatenate([f["steps"] for f in finals])
-        return got
-    out = dict(
-        valid=jnp.concatenate([f["found"] for f in finals]),
-        t=jnp.concatenate([jnp.where(f["found"], f["t_best"], 0.0)
-                           for f in finals]),
-        tri=jnp.concatenate([f["tri"] for f in finals]),
-        b=jnp.concatenate([f["b"] for f in finals]),
-    )
-    if count_steps:
-        out["steps"] = jnp.concatenate([f["steps"] for f in finals])
-    return out
+            return (jnp.concatenate([t[0] for t in outs]),
+                    jnp.concatenate([t[1] for t in outs]))
+        return jnp.concatenate(outs)
+    return {key: jnp.concatenate([h[key] for h in outs])
+            for key in outs[0]}
 
 
 def bvhw_intersect_chunked(table, o, d, t_max, chunks: int = 4,

@@ -86,7 +86,11 @@ class OrbitalCameraController:
                                 self.rotate_vertical * self.orbit_speed
                                 * dt, vert_axis)
         r = np.linalg.norm(cam_pos)
-        new_r = max(0.01, r * (1.0 + self.scroll * self.zoom_speed * dt))
+        # multiplicative factor clamped away from 0: the reference's
+        # linear form (camera.rs:80) degenerates when scroll*speed*dt
+        # <= -1 (discrete key presses use dt=1, not frame dt)
+        factor = max(1.0 + self.scroll * self.zoom_speed * dt, 0.1)
+        new_r = max(0.01, r * factor)
         cam_pos = cam_pos / max(r, 1e-12) * new_r
         eye = cam_pos + self.pivot
         self.rotate_horizontal = 0.0

@@ -95,9 +95,11 @@ def dispatch_key(state: ViewerState, key: str) -> ViewerState:
         state.restart = True
     elif key == "]":
         state.spp *= 2
+        state.restart = True  # re-render at the new spp (ref Up key)
         log.info("pixel samples: %d", state.spp)
     elif key == "[":
         state.spp = max(1, state.spp // 2)
+        state.restart = True
         log.info("pixel samples: %d", state.spp)
     elif key == "o":
         state.save = True
@@ -123,9 +125,14 @@ def dispatch_key(state: ViewerState, key: str) -> ViewerState:
             return state
         state.dirty = True
     elif isinstance(ctl, FirstPersonCameraController):
+        look = {"i": (0.0, -15.0), "k": (0.0, 15.0),
+                "j": (15.0, 0.0), "l": (-15.0, 0.0)}
         if key == "c":
             key = "shift"
-        if ctl.process_key(key):
+        if key in look:
+            ctl.process_mouse(*look[key])
+            state.dirty = True
+        elif ctl.process_key(key):
             state.dirty = True
     return state
 
@@ -133,7 +140,10 @@ def dispatch_key(state: ViewerState, key: str) -> ViewerState:
 def _pending_keys(timeout: float = 0.0):
     """Non-blocking single-character reads from stdin (raw mode). A
     closed stdin (piped key scripts) reads as ESC so the viewer exits
-    instead of idling forever."""
+    instead of idling forever. Terminal escape SEQUENCES are translated:
+    Up/Down arrows -> ']'/'[' (the reference's spp keys); other CSI
+    sequences are swallowed so a stray arrow can't quit the viewer —
+    only a BARE ESC quits."""
     keys = []
     while True:
         try:
@@ -145,6 +155,18 @@ def _pending_keys(timeout: float = 0.0):
         ch = sys.stdin.read(1)
         if not ch:  # EOF
             return keys + ["\x1b"]
+        if ch == "\x1b":
+            r2, _, _ = select.select([sys.stdin], [], [], 0.02)
+            if not r2:
+                keys.append("\x1b")  # bare ESC
+            else:
+                nxt = sys.stdin.read(1)
+                if nxt in ("[", "O"):
+                    code = sys.stdin.read(1)
+                    keys.append({"A": "]", "B": "["}.get(code, ""))
+                # else: alt-<key> chord — swallow
+            timeout = 0.0
+            continue
         keys.append(ch)
         timeout = 0.0
 
@@ -157,13 +179,19 @@ def run(camera, scene, integrator, output_path: str,
     from ..integrator import TracedScene
     if not isinstance(scene, TracedScene):
         scene = TracedScene.create(scene)
+    p0 = np.asarray(scene.data.p0)
+    extent = float(np.linalg.norm(p0.max(0) - p0.min(0)))
     if pivot is None:
-        p0 = np.asarray(scene.data.p0)
         pivot = 0.5 * (p0.min(0) + p0.max(0))
-    ctl = (OrbitalCameraController(pivot, orbit_speed=60.0, zoom_speed=2.0)
+    # unit speeds: key presses apply their nominal step exactly once per
+    # update_camera(dt=1.0) (30-degree orbit, x0.5/x1.5 zoom, 0.1-rad
+    # roll) — larger speeds multiply INTO the step and can alias to a
+    # full revolution
+    ctl = (OrbitalCameraController(pivot, orbit_speed=1.0, zoom_speed=1.0)
            if controller == "orbit"
-           else FirstPersonCameraController(rotate_sensitivity=60.0,
-                                            move_sensitivity=0.25))
+           else FirstPersonCameraController(
+               rotate_sensitivity=1.0,
+               move_sensitivity=max(0.03 * extent, 1e-3)))
     state = ViewerState(camera=camera, spp=integrator.spp, controller=ctl)
     w, h = camera.resolution
     tev = TevClient(server_address)

@@ -826,7 +826,9 @@ def _wave_bounce(scene, cfg, bounce, st, draw, draw2, draw2_arr=None,
             perm = jnp.argsort(key)
             hit_p = _scene_intersect(scene, o[perm], d[perm],
                                      t_in[perm], count_steps=True)
-            inv = jnp.argsort(perm)
+            # O(n) scatter inverse (a second argsort would re-sort)
+            inv = jnp.zeros((n,), jnp.int32).at[perm].set(
+                jnp.arange(n, dtype=jnp.int32))
             hit = {k: v[inv] for k, v in hit_p.items()}
         else:
             hit = _scene_intersect(scene, o, d, t_in,
