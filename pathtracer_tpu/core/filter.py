@@ -29,8 +29,32 @@ def triangle_filter_table(radius: float = 1.0) -> np.ndarray:
     return np.outer(f, f).astype(np.float32)
 
 
-def filter_f1d(kind: str = "gaussian", radius: float | None = None):
+def lanczos_sinc_filter_table(radius: float = 2.0,
+                              tau: float = 3.0) -> np.ndarray:
+    """Windowed-sinc table. The reference DECLARES LanczosSincFilter but
+    left evaluate() as todo!() (filter.rs:17-36); this implements the
+    PBRT windowed sinc it stubs: f(x) = sinc(x) * sinc(x / tau) for
+    |x| < radius. The default radius stays 2 so the film's fixed
+    border padding (film.FILM_PAD) covers the splat footprint."""
+    f, _ = filter_f1d("lanczos", radius, tau=tau)
+    return np.outer(f, f).astype(np.float32)
+
+
+def _sinc(x: np.ndarray) -> np.ndarray:
+    x = np.abs(x)
+    return np.where(x < 1e-5, 1.0, np.sin(np.pi * x) / (np.pi * x + 1e-20))
+
+
+def filter_f1d(kind: str = "gaussian", radius: float | None = None,
+               tau: float = 3.0):
     """(16,) separable 1-D filter row; the 2-D table is its outer product."""
+    if kind == "lanczos":
+        r = 2.0 if radius is None else radius
+        assert r <= 2.0, "film border padding (FILM_PAD) covers radius <= 2"
+        d = (np.arange(FILTER_TABLE_WIDTH, dtype=np.float32) + 0.5) * r \
+            / FILTER_TABLE_WIDTH
+        lanczos = _sinc(d / tau)
+        return (_sinc(d) * lanczos).astype(np.float32), r
     if kind == "gaussian":
         r = 2.0 if radius is None else radius
         alpha = 2.0
@@ -55,4 +79,7 @@ def make_filter(kind: str = "gaussian", radius: float | None = None):
     if kind == "triangle":
         r = 1.0 if radius is None else radius
         return triangle_filter_table(r), r
+    if kind == "lanczos":
+        r = 2.0 if radius is None else radius
+        return lanczos_sinc_filter_table(r), r
     raise ValueError(f"unknown filter kind: {kind}")

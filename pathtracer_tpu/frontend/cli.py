@@ -62,6 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(ref render_single_pixel)")
     p.add_argument("--chunk_spp", type=int, default=None,
                    help="samples per progressive chunk")
+    p.add_argument("--filter", default="gaussian",
+                   choices=("gaussian", "triangle", "lanczos"),
+                   help="film reconstruction filter (lanczos = the "
+                        "windowed sinc the reference declares but left "
+                        "todo!(), filter.rs:17-36)")
     p.add_argument("--mis", default="ref",
                    choices=("ref", "onesample"),
                    help="MIS estimator: 'ref' (default) re-intersects the "
@@ -138,7 +143,7 @@ def main(argv=None) -> int:
         render_single_pixel(camera, traced, cfg, (x, y), args.samples)
         return 0
 
-    integ = PathIntegrator(cfg, spp=args.samples)
+    integ = PathIntegrator(cfg, spp=args.samples, filter_kind=args.filter)
 
     if args.mesh:
         from ..parallel.mesh import make_mesh, render_sharded

@@ -92,3 +92,22 @@ def test_generate_rays_through_center():
     assert np.allclose(o[0], [10, 10, 10], atol=1e-5)
     to_origin = -o[0] / np.linalg.norm(o[0])
     assert np.allclose(d[0], to_origin, atol=1e-4)
+
+
+def test_lanczos_sinc_filter_table():
+    """Windowed sinc (the reference's todo!() filter, filter.rs:17-36):
+    near-1 at the center, decaying, with the window zeroing at radius."""
+    from pathtracer_tpu.core.filter import (filter_f1d,
+                                            lanczos_sinc_filter_table)
+    f, r = filter_f1d("lanczos")
+    assert r == 2.0
+    # first sample is close to sinc(~0.06) ~ 1
+    assert 0.9 < f[0] <= 1.0
+    # strictly positive at the center, small near the radius
+    assert f[0] > abs(f[-1])
+    t = lanczos_sinc_filter_table()
+    np.testing.assert_allclose(t, np.outer(f, f), rtol=1e-6)
+    # exact value check at one point: d = (8+0.5)*2/16 = 1.0625
+    d = np.float32((8 + 0.5) * 2.0 / 16)
+    sinc = lambda x: np.sin(np.pi * x) / (np.pi * x)
+    np.testing.assert_allclose(f[8], sinc(d) * sinc(d / 3.0), rtol=1e-5)

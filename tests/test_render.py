@@ -104,7 +104,7 @@ def test_sharded_2d_mesh_matches_single(cornell):
                                rtol=0, atol=5e-5)
 
 
-@pytest.mark.parametrize("kind", ["gaussian", "triangle"])
+@pytest.mark.parametrize("kind", ["gaussian", "triangle", "lanczos"])
 def test_splat_tile_matches_scatter_reference(kind):
     """Dense band splat == reference-semantics per-sample scatter
     (film.rs:60-106) for BOTH filter radii (gaussian r=2, triangle r=1)."""
