@@ -1149,13 +1149,11 @@ _WAVE_DEPTH_BUDGET = 6 * 65536
 _SEG_MIN_ROWS = 2048
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("cfg", "band_shape", "total_spp_log2"))
-def _seg_gen(scene, cfg, band_shape, px, py, b_base, scramble,
-             f_lo, f_hi, f_delta, frame, inv_lo, inv_hi,
-             r2c, cam_rot, cam_pos, sobol_pack, sobol_scale,
-             sobol_off_x, sobol_off_y, total_spp_log2=0,
-             dxdy_cam=None, diff_scale=1.0):
+def _seg_gen_impl(scene, cfg, band_shape, px, py, b_base, scramble,
+                  f_lo, f_hi, f_delta, frame, inv_lo, inv_hi,
+                  r2c, cam_rot, cam_pos, sobol_pack, sobol_scale,
+                  sobol_off_x, sobol_off_y, total_spp_log2=0,
+                  dxdy_cam=None, diff_scale=1.0):
     """Segmented renderer, stage 1: camera rays + sampler state for ONE
     sample frame of one band (the ray-gen half of render_band.per_frame).
 
@@ -1196,6 +1194,11 @@ def _seg_gen(scene, cfg, band_shape, px, py, b_base, scramble,
     return _wave_init(scene, cfg, o, d), aux, jx, jy, rxd, ryd
 
 
+_seg_gen = functools.partial(
+    jax.jit, static_argnames=("cfg", "band_shape", "total_spp_log2"))(
+        _seg_gen_impl)
+
+
 def _seg_draws(cfg, aux, scramble, sobol_pack, total_spp_log2):
     """Rebuild the per-frame draw closures from the aux sampler arrays
     (mirrors render_band.per_frame's closure construction)."""
@@ -1220,10 +1223,8 @@ def _seg_draws(cfg, aux, scramble, sobol_pack, total_spp_log2):
     return draw, draw2, None
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("cfg", "bounce", "total_spp_log2"))
-def _seg_bounce(scene, cfg, bounce, st, aux, scramble, sobol_pack,
-                total_spp_log2=0, rxd=None, ryd=None):
+def _seg_bounce_impl(scene, cfg, bounce, st, aux, scramble, sobol_pack,
+                     total_spp_log2=0, rxd=None, ryd=None):
     """Segmented renderer, stage 2: ONE jitted bounce (own device
     program — the program-size fault envelope no longer scales with
     max_depth, so 131k-ray waves run at any depth). NEE shadow rays are
@@ -1235,11 +1236,13 @@ def _seg_bounce(scene, cfg, bounce, st, aux, scramble, sobol_pack,
                         defer_shadow=True)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("cfg", "band_shape", "filter_f1d",
-                                    "filter_radius"))
-def _seg_splat(cfg, band_shape, st, jx, jy, valid_lanes, film_pad,
-               band_x0, band_y0, filter_f1d, filter_radius=2.0):
+_seg_bounce = functools.partial(
+    jax.jit, static_argnames=("cfg", "bounce", "total_spp_log2"))(
+        _seg_bounce_impl)
+
+
+def _seg_splat_impl(cfg, band_shape, st, jx, jy, valid_lanes, film_pad,
+                    band_x0, band_y0, filter_f1d, filter_radius=2.0):
     """Segmented renderer, stage 3: radiance watchdog + tile splat."""
     th, tw = band_shape
     radiance, n_bad = _wave_radiance(cfg, st)
@@ -1250,6 +1253,11 @@ def _seg_splat(cfg, band_shape, st, jx, jy, valid_lanes, film_pad,
     film_pad = film_pad_accumulate(film_pad, tile, band_x0, band_y0,
                                    half=splat_halfwidth(filter_radius))
     return film_pad, st["rays"], n_bad
+
+
+_seg_splat = functools.partial(
+    jax.jit, static_argnames=("cfg", "band_shape", "filter_f1d",
+                              "filter_radius"))(_seg_splat_impl)
 
 
 class PathIntegrator:

@@ -22,7 +22,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..core import math as pm
 from ..core.film import film_crop, film_pad_new, sample_bounds
 from ..core.filter import filter_f1d as make_filter_f1d, make_filter
-from ..integrator import PathConfig, TracedScene, render_band
+from ..integrator import (PathConfig, TracedScene, render_band,
+                          _SEG_MIN_ROWS, _WAVE_DEPTH_BUDGET,
+                          _seg_gen_impl, _seg_bounce_impl, _seg_splat_impl)
 from ..ops import sobol as sb
 
 
@@ -44,7 +46,8 @@ def make_mesh_2d(n_tiles: int, n_samples: int, devices=None) -> Mesh:
 
 
 def render_sharded(camera, scene, mesh: Mesh, cfg: PathConfig = PathConfig(),
-                   spp: int = 4, filter_kind: str = "gaussian"):
+                   spp: int = 4, filter_kind: str = "gaussian",
+                   segmented: bool | None = None):
     """Render the full frame data-parallel over `mesh`; returns (H, W, 4).
 
     Each device renders one contiguous row band (padded to equal height)
@@ -53,6 +56,10 @@ def render_sharded(camera, scene, mesh: Mesh, cfg: PathConfig = PathConfig(),
     sample frames: device (i, k) renders band i's frames
     [k*spp/S, (k+1)*spp/S) — the additive accumulator makes the merge
     exact up to f32 summation order.
+
+    ``segmented`` forces the per-bounce segmented program path on (True)
+    or off (False); None applies the same fault-envelope predicate as the
+    single-chip renderer, so Sponza-class scenes segment automatically.
     """
     if not isinstance(scene, TracedScene):
         scene = TracedScene.create(scene)
@@ -103,6 +110,23 @@ def render_sharded(camera, scene, mesh: Mesh, cfg: PathConfig = PathConfig(),
     s_axis = "samples" if two_d else None
     psum_axes = ("tiles", "samples") if two_d else ("tiles",)
 
+    # Big scenes render SEGMENTED (one jitted program per bounce) so a
+    # sharded Sponza-class render can't exceed the axon lane-bounce fault
+    # envelope any more than the single-chip path does (same predicate as
+    # PathIntegrator.render_progressive).
+    bw = getattr(scene, "bw_rows", None)
+    if segmented is None:
+        segmented = (bw is not None and bw.shape[0] >= _SEG_MIN_ROWS
+                     and (cfg.max_depth + 1) * band * ws
+                     > _WAVE_DEPTH_BUDGET)
+    if segmented and bw is not None:
+        return _render_sharded_segmented(
+            camera, scene, mesh, cfg, spp, spp_local, band, ws, two_d,
+            x0, y0, y1, w, h, domain, px, py, b_base, scramble, band_y0s,
+            frame_lo, frame_hi, frame_delta, frame_base, inv_lo, inv_hi,
+            sobol_pack, r2c, cam_rot, cam_pos, dxdy_cam, diff_scale, ft,
+            radius)
+
     # check_vma=False: the wavefront while_loop carry starts with replicated
     # values (camera origin broadcast) that become varying after bounce 1;
     # the vma check would reject that even though the math is shard-local.
@@ -133,3 +157,111 @@ def render_sharded(camera, scene, mesh: Mesh, cfg: PathConfig = PathConfig(),
                             jnp.asarray(frame_delta),
                             jnp.asarray(frame_base))
     return film_crop(film_pad, w, h)
+
+
+def _render_sharded_segmented(camera, scene, mesh, cfg, spp, spp_local,
+                              band, ws, two_d, x0, y0, y1, w, h, domain,
+                              px, py, b_base, scramble, band_y0s,
+                              frame_lo, frame_hi, frame_delta, frame_base,
+                              inv_lo, inv_hi, sobol_pack, r2c, cam_rot,
+                              cam_pos, dxdy_cam, diff_scale, ft, radius):
+    """Sharded SEGMENTED rendering: per-bounce device programs (like
+    PathIntegrator._band_segmented) wrapped in shard_map, so no single
+    program's lane-bounce product scales with max_depth. Wave state is
+    sharded over (tiles[, samples]); each device accumulates its own
+    padded film across its frames and the films are summed once at the
+    end — the additive accumulator makes the merge exact up to f32
+    summation order (film.rs:213-228 semantics)."""
+    n_tiles = mesh.shape["tiles"] if two_d else mesh.devices.size
+    n_samp = mesh.shape["samples"] if two_d else 1
+    n_dev = n_tiles * n_samp
+    comb = ("tiles", "samples") if two_d else ("tiles",)
+    Pc = P(comb)            # per-(tile, sample-group) state
+    lane = P("tiles")       # per-tile pixel statics (replicated over samples)
+    s_spec = P("samples") if two_d else P()
+    tsl = pm.log2_int(spp)
+    with_diff = dxdy_cam is not None and (scene.has_tex
+                                          or scene.has_normal_maps)
+    band_shape = (band, ws)
+    sob_scale = jnp.float32(domain.resolution)
+    sob_ox = jnp.float32(domain.p_min[0])
+    sob_oy = jnp.float32(domain.p_min[1])
+
+    # wave-state scalars (rays, n_live) ride as (1,)-per-shard arrays so a
+    # single Pc prefix spec covers every pytree leaf
+    def _lift(st):
+        return dict(st, rays=st["rays"].reshape(1),
+                    n_live=st["n_live"].reshape(1))
+
+    def _unlift(st):
+        return dict(st, rays=st["rays"][0], n_live=st["n_live"][0])
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), lane, lane, lane, lane,
+                  s_spec, s_spec, s_spec, s_spec),
+        out_specs=Pc, check_vma=False)
+    def seg_gen_sh(scene_rep, px_s, py_s, b_base_s, scr_s,
+                   f_lo_s, f_hi_s, f_delta_s, frame_s):
+        st, aux, jx, jy, rxd, ryd = _seg_gen_impl(
+            scene_rep, cfg, band_shape, px_s, py_s, b_base_s, scr_s,
+            f_lo_s[0], f_hi_s[0], f_delta_s[0], frame_s[:1],
+            inv_lo, inv_hi, r2c, cam_rot, cam_pos, sobol_pack,
+            sob_scale, sob_ox, sob_oy, total_spp_log2=tsl,
+            dxdy_cam=dxdy_cam, diff_scale=diff_scale)
+        if rxd is None:  # keep the output pytree structure static
+            rxd = ryd = jnp.zeros((px_s.shape[0], 3), jnp.float32)
+        return _lift(st), aux, jx, jy, rxd, ryd
+
+    def make_bounce(bounce):
+        diff = with_diff and bounce == 0
+        in_specs = (P(), Pc, Pc, lane) + ((Pc, Pc) if diff else ())
+
+        @jax.jit
+        @functools.partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
+                           out_specs=Pc, check_vma=False)
+        def seg_bounce_sh(scene_rep, st, aux, scr_s, *diff_args):
+            rxd, ryd = diff_args if diff else (None, None)
+            st = _seg_bounce_impl(scene_rep, cfg, bounce, _unlift(st),
+                                  aux, scr_s, sobol_pack,
+                                  total_spp_log2=tsl, rxd=rxd, ryd=ryd)
+            return _lift(st)
+        return seg_bounce_sh
+
+    bounce_progs = [make_bounce(b) for b in range(cfg.max_depth + 1)]
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(Pc, Pc, Pc, lane, Pc, lane),
+        out_specs=(Pc, Pc, Pc), check_vma=False)
+    def seg_splat_sh(st, jx, jy, valid_s, films, y0_s):
+        film_local, rays, n_bad = _seg_splat_impl(
+            cfg, band_shape, _unlift(st), jx, jy, valid_s, films[0],
+            jnp.int32(x0), y0_s[0], filter_f1d=ft, filter_radius=radius)
+        return films.at[0].set(film_local), rays.reshape(1), \
+            n_bad.reshape(1)
+
+    px_d = jnp.asarray(px)
+    py_d = jnp.asarray(py)
+    b_base_d = jnp.asarray(b_base)
+    scr_d = jnp.asarray(scramble)
+    valid_d = jnp.asarray(py < y1)
+    y0s_d = jnp.asarray(band_y0s)
+    fp0 = film_pad_new(w, h, extra_rows=band)
+    films = jnp.zeros((n_dev,) + fp0.shape, fp0.dtype)
+    for step in range(spp_local):
+        fr = frame_base + step  # (n_samp,) global frame per sample-group
+        st, aux, jx, jy, rxd, ryd = seg_gen_sh(
+            scene, px_d, py_d, b_base_d, scr_d,
+            jnp.asarray(frame_lo[fr]), jnp.asarray(frame_hi[fr]),
+            jnp.asarray(frame_delta[fr]), jnp.asarray(fr))
+        for bounce in range(cfg.max_depth + 1):
+            if with_diff and bounce == 0:
+                st = bounce_progs[bounce](scene, st, aux, scr_d, rxd, ryd)
+            else:
+                st = bounce_progs[bounce](scene, st, aux, scr_d)
+        films, _rays, _bad = seg_splat_sh(st, jx, jy, valid_d, films,
+                                          y0s_d)
+    return film_crop(jnp.sum(films, axis=0), w, h)

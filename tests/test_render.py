@@ -104,6 +104,47 @@ def test_sharded_2d_mesh_matches_single(cornell):
                                rtol=0, atol=5e-5)
 
 
+def test_sharded_segmented_sponza_matches_single():
+    """Sharded SEGMENTED path (per-bounce programs under shard_map) ==
+    single-chip render on the Sponza-class GLB (VERDICT r3 item 4: big
+    scenes must shard through the segmented path so real multi-chip
+    hardware can't hit the fused program's fault envelope)."""
+    import jax
+    from pathtracer_tpu.integrator import TracedScene
+    from pathtracer_tpu.parallel.mesh import make_mesh, render_sharded
+    from pathtracer_tpu.scene.gltf import load_gltf
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    cam, sd, _ = load_gltf("data/sponza_proc.glb", resolution=(48, 24))
+    scene = TracedScene.create(sd)
+    cfg = PathConfig(max_depth=3, mis_mode="onesample")
+    f1 = PathIntegrator(cfg, spp=1).render(cam, scene)
+    f8 = render_sharded(cam, scene, make_mesh(len(jax.devices())), cfg,
+                        spp=1, segmented=True)
+    # fused single-chip vs segmented sharded are different XLA programs;
+    # codegen variance drifts ~0.7% of channels by <=2e-4 (measured) —
+    # far below any real traversal/shading regression (10%+ shifts)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f8),
+                               rtol=1e-2, atol=2e-4)
+
+
+def test_sharded_segmented_2d_mesh_matches_single(cornell):
+    """Segmented sharded path on a 2D (tiles x samples) mesh == single
+    chip; forces segmentation on the small cornell tree to exercise the
+    frame-slicing logic."""
+    import jax
+    from pathtracer_tpu.parallel.mesh import make_mesh_2d, render_sharded
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cam, scene, _ = cornell
+    cfg = PathConfig(max_depth=2, mis_mode="onesample")
+    f1 = PathIntegrator(cfg, spp=2).render(cam, scene)
+    f8 = render_sharded(cam, scene, make_mesh_2d(4, 2), cfg, spp=2,
+                        segmented=True)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f8),
+                               rtol=0, atol=5e-5)
+
+
 @pytest.mark.parametrize("kind", ["gaussian", "triangle", "lanczos"])
 def test_splat_tile_matches_scatter_reference(kind):
     """Dense band splat == reference-semantics per-sample scatter
