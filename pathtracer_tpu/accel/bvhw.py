@@ -11,7 +11,8 @@ Measured TPU facts driving this layout (tools/probe_gather_width{,2,3}.py):
 A 32-wide tree with 25-triangle merged leaves holds a 123.6k-tri scene
 in ~7k rows x 1 KB ~= 7 MB — inside the fast regime — and needs ~3
 interior levels, cutting rows-gathered-per-ray by ~4-6x vs the 8-wide
-64-float layout (accel/bvh8) on top of the ~1.7x cheaper gathers.
+64-float layout (attic/accel/bvh8.py) on top of the ~1.7x cheaper
+gathers.
 
 Layout (one (R, 256) f32 table, self-describing rows):
 
@@ -81,7 +82,7 @@ def build_bvhw(p0, p1, p2, max_leaf: int = 4):
 
 def bvhw_from_binary(b, p0r, p1r, p2r):
     """Collapse a built binary BVH (accel/bvh.BVHArrays) into the 32-wide
-    row table; same algorithm as accel/bvh8.bvh8_from_binary with the
+    row table; same algorithm as attic/accel/bvh8.bvh8_from_binary with the
     branching, leaf capacity, and octant-group slot policy widened.
     p0r/p1r/p2r are the triangle vertices ALREADY permuted into
     ``b.order``. Returns (table (R, 256) f32, depth)."""

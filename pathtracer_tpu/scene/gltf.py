@@ -12,7 +12,8 @@ PNG base-color and metallic-roughness textures load into the mip-pyramid
 texture pool (channel-split metallic=B/roughness=G, gltf.rs:99-165);
 other image formats fall back to their factors; normal maps bind through
 the NormalMaterial-equivalent shading-frame perturbation. Alpha-mask
-cutouts are pending.
+cutouts import from RGBA base-color alpha when alphaMode == MASK
+(gltf.rs:291-330; see ``_material_row`` below).
 """
 
 from __future__ import annotations

@@ -134,74 +134,3 @@ def test_slab_test_on_plane_zero_direction():
     assert not bool(np.asarray(hit3)[0])
 
 
-def test_bvh2_unified_matches_brute(cornell_bvh):
-    """Unified-row traversal (accel/bvh2) == brute oracle on random rays,
-    closest and any-hit, including bounded t_max."""
-    ts = cornell_bvh
-    from pathtracer_tpu.accel.bvh import build_bvh
-    from pathtracer_tpu.accel.bvh2 import build_unified, bvh2_intersect
-    p0 = np.asarray(ts.data.p0)
-    p1 = np.asarray(ts.data.p1)
-    p2 = np.asarray(ts.data.p2)
-    b = build_bvh(p0, p1, p2, 2)
-    p0, p1, p2 = p0[b.order], p1[b.order], p2[b.order]
-    rows, root = build_unified(
-        np.asarray(b.bounds_min), np.asarray(b.bounds_max),
-        np.asarray(b.offset), np.asarray(b.n_prims),
-        np.asarray(b.axis), p0, p1, p2)
-    n = 2048
-    o, d = _random_rays(n, seed=11)
-    tmax = jnp.full(n, np.inf, jnp.float32)
-    hb = intersect_brute(o, d, tmax, jnp.asarray(p0), jnp.asarray(p1),
-                         jnp.asarray(p2))
-    hv = bvh2_intersect(jnp.asarray(rows), root, o, d, tmax)
-    np.testing.assert_array_equal(np.asarray(hb["valid"]),
-                                  np.asarray(hv["valid"]))
-    both = np.asarray(hb["valid"])
-    np.testing.assert_allclose(np.asarray(hb["t"])[both],
-                               np.asarray(hv["t"])[both], rtol=1e-4,
-                               atol=1e-6)
-    tri_agree = (np.asarray(hb["tri"])[both] ==
-                 np.asarray(hv["tri"])[both]).mean()
-    assert tri_agree > 0.99
-    tb = jnp.full(n, 1.5, jnp.float32)
-    pb = intersect_p_brute(o, d, tb, jnp.asarray(p0), jnp.asarray(p1),
-                           jnp.asarray(p2))
-    pv = bvh2_intersect(jnp.asarray(rows), root, o, d, tb, any_hit=True)
-    np.testing.assert_array_equal(np.asarray(pb), np.asarray(pv))
-
-
-def test_bvh2_random_soup_and_degenerate():
-    """Unified layout on a random soup (odd leaf fill), a single-triangle
-    scene (leaf root), and coincident-centroid clusters."""
-    from pathtracer_tpu.accel.bvh import build_bvh
-    from pathtracer_tpu.accel.bvh2 import build_unified, bvh2_intersect
-    rng = np.random.default_rng(3)
-    for f in (1, 2, 7, 333):
-        base = rng.uniform(-2, 2, (f, 3)).astype(np.float32)
-        if f == 333:  # 30 coincident-centroid tris stress degenerate split
-            base[:30] = base[0]
-        p0 = base
-        p1 = base + rng.uniform(0.05, 0.4, (f, 3)).astype(np.float32)
-        p2 = base + rng.uniform(0.05, 0.4, (f, 3)).astype(np.float32)
-        bvh = build_bvh(p0, p1, p2, max_prims=2, native=False)
-        sp0, sp1, sp2 = p0[bvh.order], p1[bvh.order], p2[bvh.order]
-        rows, root = build_unified(
-            np.asarray(bvh.bounds_min), np.asarray(bvh.bounds_max),
-            np.asarray(bvh.offset), np.asarray(bvh.n_prims),
-            np.asarray(bvh.axis), sp0, sp1, sp2)
-        n = 512
-        o = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
-        d = rng.normal(size=(n, 3)).astype(np.float32)
-        d /= np.linalg.norm(d, axis=-1, keepdims=True)
-        o, d = jnp.asarray(o), jnp.asarray(d)
-        tmax = jnp.full(n, np.inf, jnp.float32)
-        hb = intersect_brute(o, d, tmax, jnp.asarray(sp0),
-                             jnp.asarray(sp1), jnp.asarray(sp2))
-        hv = bvh2_intersect(jnp.asarray(rows), root, o, d, tmax)
-        np.testing.assert_array_equal(np.asarray(hb["valid"]),
-                                      np.asarray(hv["valid"]), err_msg=str(f))
-        both = np.asarray(hb["valid"])
-        np.testing.assert_allclose(np.asarray(hb["t"])[both],
-                                   np.asarray(hv["t"])[both], rtol=1e-4,
-                                   atol=1e-6)
