@@ -16,6 +16,10 @@ Keys (reference binding in parentheses):
   ]/[         double / halve samples per pixel          (Up/Down)
   o           save the current film as PNG              (S)
   t           cycle log level                           (T)
+  p           show the raster-preview analogue
+  m           toggle wireframe overlay                  (Ctrl-H)
+  b           toggle BVH bounds overlay                 (Ctrl-B)
+  g           single-pixel debug trace, center pixel    (Ctrl-click)
   ESC or x    quit (writes the final PNG)               (Escape)
 
 The render loop is chunked: after every sample chunk the film streams to
@@ -42,11 +46,14 @@ from .tev import TevClient
 log = get_logger("viewer")
 
 
-def preview_frame(camera, scene):
+def preview_frame(camera, scene, wire: bool = False):
     """Instant preview: one primary-visibility wave shaded as
     albedo x |n . v| — the TPU stand-in for the reference viewer's
     rasterized phong preview (viewer/shaders/phong.rs; ViewerState::
-    RasterScene). Returns (H, W, 3) float rgb."""
+    RasterScene). With ``wire`` the triangle edges are highlighted from
+    the hit barycentrics — the reference's wireframe debug pass
+    (viewer/wireframe.rs:17-61, Ctrl-H) without a raster pipeline.
+    Returns (H, W, 3) float rgb."""
     import jax.numpy as jnp
 
     from ..core.camera import generate_rays
@@ -69,8 +76,105 @@ def preview_frame(camera, scene):
                           tex_channels=scene.tex_channels)
     shade = mp["kd"] * jnp.abs(pm.dot(it["ns"], -d))[..., None] \
         + ia.emitted_radiance(it, -d)
+    if wire:
+        # distance to the nearest edge in barycentric space; the ref pass
+        # draws GL lines — same visual, no raster pipeline needed
+        edge = jnp.min(hit["b"], axis=-1) < 0.02
+        shade = jnp.where((edge & hit["valid"])[..., None],
+                          jnp.asarray([0.1, 1.0, 0.25], jnp.float32),
+                          shade)
     rgb = jnp.where(hit["valid"][..., None], shade, 0.05)
-    return np.asarray(rgb).reshape(h, w, 3)
+    # writable host copy: overlays (draw_bvh_bounds) draw into it
+    return np.array(np.asarray(rgb).reshape(h, w, 3))
+
+
+def bvh_level_boxes(scene, levels: int = 3):
+    """Host-side walk of the BVH32 table's top ``levels`` levels →
+    list of (level, bmin (3,), bmax (3,)) child AABBs. The interior rows
+    self-describe (accel/bvhw.py layout: slabs component-major, [192]
+    child base row, [193]/[194] occupancy halves), so no rebuild is
+    needed — the overlay reads the same table the traversal gathers."""
+    if getattr(scene, "bw_rows", None) is None:
+        return []
+    rows = np.asarray(scene.bw_rows)
+    boxes = []
+    frontier = [0]
+    for lvl in range(levels):
+        nxt = []
+        for r in frontier:
+            row = rows[r]
+            if row[255] != 0.0:  # leaf row: no child slabs
+                continue
+            occ = np.uint32(row[193]) | (np.uint32(row[194]) << np.uint32(16))
+            base = int(row[192])
+            rank = 0
+            for slot in range(32):
+                if not (int(occ) >> slot) & 1:
+                    continue
+                bmin = np.array([row[slot], row[32 + slot], row[64 + slot]])
+                bmax = np.array([row[96 + slot], row[128 + slot],
+                                 row[160 + slot]])
+                boxes.append((lvl, bmin, bmax))
+                nxt.append(base + rank)
+                rank += 1
+        frontier = nxt
+    return boxes
+
+
+_LEVEL_COLORS = np.asarray([[1.0, 0.25, 0.2], [1.0, 0.8, 0.1],
+                            [0.2, 0.6, 1.0], [0.7, 0.3, 1.0]], np.float32)
+
+_BOX_EDGES = [(a, b) for a in range(8) for b in range(8)
+              if a < b and bin(a ^ b).count("1") == 1]  # 12 AABB edges
+
+
+def project_points(camera, pts):
+    """World points (N, 3) → raster xy (N, 2) + in-front mask (N,).
+
+    Inverts the camera's generate_rays chain: world → camera via the
+    rigid cam_to_world inverse, camera → raster via
+    inv(raster_to_camera) with perspective divide."""
+    c2w = camera.cam_to_world
+    pc = (np.asarray(pts, np.float64) - c2w[:3, 3]) @ c2w[:3, :3]
+    c2r = np.linalg.inv(camera.raster_to_camera)
+    ph = np.concatenate([pc, np.ones((len(pc), 1))], axis=1) @ c2r.T
+    w_ = ph[:, 3]
+    in_front = (pc[:, 2] < 0) & (np.abs(w_) > 1e-12)
+    xy = ph[:, :2] / np.where(np.abs(w_) > 1e-12, w_, 1.0)[:, None]
+    return xy, in_front
+
+
+def draw_bvh_bounds(img, camera, scene, levels: int = 3):
+    """Overlay the top BVH levels' AABB edges on ``img`` (H, W, 3),
+    in place — the reference viewer's bounds debug pass
+    (viewer/bounds.rs:12-114, Ctrl-B), line-drawn host-side instead of
+    through a wgpu line-list pipeline. Level colors cycle
+    red/yellow/blue/violet. Returns img (a copy when the input buffer is
+    read-only, e.g. a bare device-array view)."""
+    if not img.flags.writeable:
+        img = img.copy()
+    h, w = img.shape[:2]
+    for lvl, bmin, bmax in bvh_level_boxes(scene, levels):
+        corners = np.array([[bmin[0] if (i >> 0) & 1 == 0 else bmax[0],
+                             bmin[1] if (i >> 1) & 1 == 0 else bmax[1],
+                             bmin[2] if (i >> 2) & 1 == 0 else bmax[2]]
+                            for i in range(8)])
+        if not np.isfinite(corners).all():
+            continue
+        xy, ok = project_points(camera, corners)
+        color = _LEVEL_COLORS[lvl % len(_LEVEL_COLORS)]
+        for a, b in _BOX_EDGES:
+            if not (ok[a] and ok[b]):
+                continue
+            n = int(max(2, min(4 * max(w, h),
+                               np.linalg.norm(xy[b] - xy[a]) * 2)))
+            t = np.linspace(0.0, 1.0, n)[:, None]
+            p = xy[a] * (1 - t) + xy[b] * t
+            px = np.round(p[:, 0]).astype(int)
+            py = np.round(p[:, 1]).astype(int)
+            m = (px >= 0) & (px < w) & (py >= 0) & (py < h)
+            img[py[m], px[m]] = color
+    return img
 
 
 @dataclasses.dataclass
@@ -83,6 +187,9 @@ class ViewerState:
     save: bool = False
     quit: bool = False
     preview: bool = False  # 'p': show the raster-preview analogue
+    wire: bool = False     # 'm': wireframe overlay (ref Ctrl-H)
+    bounds: bool = False   # 'b': BVH AABB overlay (ref Ctrl-B)
+    debug_pixel: bool = False  # 'g': single-pixel trace (ref Ctrl-click)
 
 
 def dispatch_key(state: ViewerState, key: str) -> ViewerState:
@@ -105,6 +212,16 @@ def dispatch_key(state: ViewerState, key: str) -> ViewerState:
         state.save = True
     elif key == "p":
         state.preview = True
+    elif key == "m":
+        state.wire = not state.wire
+        state.preview = True
+        log.info("wireframe overlay: %s", "on" if state.wire else "off")
+    elif key == "b":
+        state.bounds = not state.bounds
+        state.preview = True
+        log.info("BVH bounds overlay: %s", "on" if state.bounds else "off")
+    elif key == "g":
+        state.debug_pixel = True
     elif key == "t":
         cycle_level()
     elif isinstance(ctl, OrbitalCameraController):
@@ -246,7 +363,7 @@ def run(camera, scene, integrator, output_path: str,
             if state.dirty:
                 state.camera = ctl.update_camera(state.camera, dt=1.0)
                 if tev.connected:  # instant feedback while moving
-                    tev.update_image(preview_frame(state.camera, scene))
+                    tev.update_image(_preview_img(state, scene))
                 continue
             if state.restart:
                 continue
@@ -261,8 +378,11 @@ def run(camera, scene, integrator, output_path: str,
                     state.save = False
                 if state.preview:
                     if tev.connected:
-                        tev.update_image(preview_frame(state.camera, scene))
+                        tev.update_image(_preview_img(state, scene))
                     state.preview = False
+                if state.debug_pixel:
+                    _debug_center_pixel(state, scene, integrator)
+                    state.debug_pixel = False
                 if max_frames is not None:
                     break
             if state.dirty:
@@ -276,6 +396,25 @@ def run(camera, scene, integrator, output_path: str,
         write_png(output_path, to_rgb8(film))
         log.info("wrote %s", output_path)
     return film
+
+
+def _preview_img(state: ViewerState, scene):
+    """Compose the preview with any active debug overlays."""
+    img = preview_frame(state.camera, scene, wire=state.wire)
+    if state.bounds:
+        draw_bvh_bounds(img, state.camera, scene)
+    return img
+
+
+def _debug_center_pixel(state: ViewerState, scene, integrator):
+    """'g' key: re-trace every sample of the center pixel and log the
+    per-sample radiance — the reference's Ctrl-click single-pixel debug
+    (viewer/mod.rs:304-318 → integrator.rs:505-534). Terminal viewers
+    have no cursor position, so the crosshair is the frame center."""
+    from .debug import render_single_pixel
+    w, h = state.camera.resolution
+    render_single_pixel(state.camera, scene, integrator.cfg,
+                        (w // 2, h // 2), min(16, state.spp))
 
 
 class _Restart(Exception):

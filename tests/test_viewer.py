@@ -125,3 +125,80 @@ def test_preview_frame_shades_albedo():
     # red wall left of image, green wall right (albedo shading visible)
     assert mid[:, :6, 0].mean() > mid[:, :6, 1].mean()
     assert mid[:, -6:, 1].mean() > mid[:, -6:, 0].mean()
+
+
+def test_dispatch_key_debug_bindings():
+    """'m'/'b' toggle the wireframe / BVH-bounds overlays (ref Ctrl-H /
+    Ctrl-B, viewer/wireframe.rs + bounds.rs) and 'g' arms the
+    single-pixel trace (ref Ctrl-click, viewer/mod.rs:304-318)."""
+    cam = _cam()
+    ctl = OrbitalCameraController(pivot=(0, 0, 0))
+    st = ViewerState(camera=cam, spp=4, controller=ctl)
+    st = dispatch_key(st, "m")
+    assert st.wire and st.preview
+    st.preview = False
+    st = dispatch_key(st, "b")
+    assert st.bounds and st.preview
+    st = dispatch_key(st, "m")
+    st = dispatch_key(st, "b")
+    assert not st.wire and not st.bounds
+    st = dispatch_key(st, "g")
+    assert st.debug_pixel
+
+
+def test_wireframe_overlay_marks_edges():
+    """wire=True highlights triangle-edge pixels green on top of the
+    albedo preview; the plain preview has none."""
+    from pathtracer_tpu.frontend.interactive import preview_frame
+    from pathtracer_tpu.integrator import TracedScene
+    from pathtracer_tpu.scene.mitsuba import load_mitsuba
+    cam, sd, _ = load_mitsuba("data/cornell-box.xml", resolution=(32, 32))
+    ts = TracedScene.create(sd, use_pallas=False)
+    plain = preview_frame(cam, ts)
+    wired = preview_frame(cam, ts, wire=True)
+    edge = np.all(np.abs(wired - [0.1, 1.0, 0.25]) < 1e-6, axis=-1)
+    assert edge.sum() > 10          # edges drawn
+    assert edge.sum() < edge.size / 2  # but not everywhere
+    assert not np.allclose(plain, wired)
+
+
+def test_bvh_bounds_overlay_draws_boxes():
+    """draw_bvh_bounds walks the BVH32 table's top levels and line-draws
+    their AABBs over the preview (ref viewer/bounds.rs:12-114): level-0
+    boxes sit inside the root scene bounds and the overlay actually
+    marks pixels."""
+    from pathtracer_tpu.frontend.interactive import (bvh_level_boxes,
+                                                     draw_bvh_bounds,
+                                                     preview_frame)
+    from pathtracer_tpu.integrator import TracedScene
+    from pathtracer_tpu.scene.mitsuba import load_mitsuba
+    cam, sd, _ = load_mitsuba("data/cornell-box.xml", resolution=(48, 48))
+    ts = TracedScene.create(sd, use_bvh=True, use_pallas=False)
+    boxes = bvh_level_boxes(ts, levels=2)
+    assert boxes, "forced BVH scene must yield level boxes"
+    p = np.concatenate([np.asarray(ts.data.p0), np.asarray(ts.data.p1),
+                        np.asarray(ts.data.p2)])
+    lo, hi = p.min(0), p.max(0)
+    for _lvl, bmin, bmax in boxes:
+        assert (bmin >= lo - 1e-3).all() and (bmax <= hi + 1e-3).all()
+        assert (bmax >= bmin).all()
+    img = preview_frame(cam, ts)
+    before = img.copy()
+    out = draw_bvh_bounds(img, cam, ts, levels=2)
+    assert not np.allclose(before, out)
+
+
+def test_project_points_inverts_raygen():
+    """project_points is the inverse of the generate_rays chain: a point
+    along the ray through raster (x, y) projects back to (x, y)."""
+    import jax.numpy as jnp
+    from pathtracer_tpu.core.camera import generate_rays
+    from pathtracer_tpu.frontend.interactive import project_points
+    cam = _cam()
+    r2c, rot, pos = cam.ray_params()
+    pf = jnp.asarray([[4.5, 7.25], [16.0, 16.0], [30.0, 2.0]], jnp.float32)
+    o, d = generate_rays(r2c, rot, pos, pf)
+    pts = np.asarray(o) + 3.0 * np.asarray(d)
+    xy, ok = project_points(cam, pts)
+    assert ok.all()
+    np.testing.assert_allclose(xy, np.asarray(pf), atol=1e-3)
