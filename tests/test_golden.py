@@ -47,3 +47,43 @@ def test_sponza_glb_golden():
     rel = np.abs(f - r) / (np.abs(r) + 5e-2)
     assert (rel > 0.05).mean() < 0.10, \
         f"{(rel > 0.05).mean():.1%} of channels off by >5%"
+
+
+def _golden_check(name, cam, scene, cfg, spp):
+    """Shared 64x64 golden comparison: band_rows=16 forces band-boundary
+    crossings and the Gaussian splat reaches across them (VERDICT r3
+    item 7: goldens big enough to catch filter-splat / band regressions).
+    Tolerances mirror the sponza golden's rationale: XLA codegen variance
+    across machines drifts fp slightly; real regressions shift 10%+."""
+    film = np.asarray(PathIntegrator(cfg, spp=spp, band_rows=16)
+                      .render(cam, scene))
+    ref = np.load(os.path.join(os.path.dirname(__file__), name))["film"]
+    np.testing.assert_allclose(film[..., 3], ref[..., 3], rtol=1e-5)
+    f, r = film[..., :3], ref[..., :3]
+    rmse = np.sqrt(np.mean((f - r) ** 2))
+    assert rmse < 2e-3, rmse
+    assert abs(f.mean() - r.mean()) < 0.02 * r.mean() + 1e-4
+
+
+def test_small_scene_golden():
+    """Config B (mirror + glass spheres, point/distant lights)."""
+    from pathtracer_tpu.scene.procedural import small_scene
+    cam, scene = small_scene((64, 64))
+    _golden_check("golden_small_64.npz", cam, scene,
+                  PathConfig(max_depth=4), spp=2)
+
+
+def test_microfacet_golden():
+    """Config C (GGX metal/substrate/glass under an area light)."""
+    from pathtracer_tpu.scene.procedural import microfacet_scene
+    cam, scene = microfacet_scene((64, 64))
+    _golden_check("golden_microfacet_64.npz", cam, scene,
+                  PathConfig(max_depth=6), spp=2)
+
+
+def test_envmap_disney_golden():
+    """Config D (HDR envmap importance sampling + Disney BSDF)."""
+    from pathtracer_tpu.scene.procedural import envmap_disney_scene
+    cam, scene = envmap_disney_scene((64, 64))
+    _golden_check("golden_envmap_64.npz", cam, scene,
+                  PathConfig(max_depth=4), spp=2)
