@@ -78,6 +78,11 @@ def main():
         with open(_CACHE) as f:
             prev = json.load(f)
         prev["stale_from_cache"] = True
+        # Age marker (VERDICT r3 weak #8): a replayed line must say WHEN
+        # it was measured, so "one round stale" != "three rounds stale".
+        prev.setdefault("measured_at", "unknown (pre-round-4 cache)")
+        if "measured_at" in prev:
+            prev["stale_note"] = f"replayed; measured {prev['measured_at']}"
         print(json.dumps(prev), flush=True)
     except Exception:  # noqa: BLE001 — no cache yet
         pass
@@ -107,6 +112,7 @@ def main():
         "value": round(cornell, 3),
         "vs_baseline": round(cornell / BASELINE_TARGET_MRAYS, 4),
         "cornell_640x480_16spp_d5_mrays": round(cornell, 3),
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "sponza_pending": True,
     }
     print(json.dumps(out), flush=True)  # recorded even if killed below
@@ -126,6 +132,8 @@ def main():
             "value": round(sponza, 3),
             "vs_baseline": round(sponza / BASELINE_TARGET_MRAYS, 4),
             "cornell_640x480_16spp_d5_mrays": round(cornell, 3),
+            "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                         time.gmtime()),
         }
         print(json.dumps(out), flush=True)
         try:

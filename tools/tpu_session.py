@@ -29,9 +29,39 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 stages = set(sys.argv[1:]) or {"cornell", "trav", "shade", "seg", "e2e"}
 
+# Incremental result banking: every stage appends its numbers the moment
+# they exist, so a mid-session tunnel death still keeps partial results
+# (VERDICT r3 item 1).
+import json  # noqa: E402
+
+_BANK = "/root/repo/TPU_SESSION.json"
+_CACHE = "/root/repo/.bench_cache.json"
+
+
+def bank(key, value):
+    try:
+        with open(_BANK) as f:
+            d = json.load(f)
+    except Exception:  # noqa: BLE001
+        d = {}
+    d[key] = value
+    d["updated_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    with open(_BANK, "w") as f:
+        json.dump(d, f, indent=1)
+
+
+def refresh_cache(line):
+    """Overwrite .bench_cache.json so even a later total outage replays a
+    FRESH measurement instead of a rounds-old one."""
+    line["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    with open(_CACHE, "w") as f:
+        json.dump(line, f)
+
+
 t_attach = time.time()
 jax.device_put(np.zeros(8, np.float32)).block_until_ready()
 print(f"[attach] {time.time()-t_attach:.1f}s", flush=True)
+bank("attach_s", round(time.time() - t_attach, 1))
 
 
 def timed(name, fn, *args, reps=3):
@@ -40,7 +70,9 @@ def timed(name, fn, *args, reps=3):
     for _ in range(reps):
         out = fn(*args)
     jax.block_until_ready(out)
-    print(f"{name}: {(time.perf_counter()-t0)/reps*1e3:8.1f} ms", flush=True)
+    ms = (time.perf_counter() - t0) / reps * 1e3
+    print(f"{name}: {ms:8.1f} ms", flush=True)
+    bank(name.strip(), round(ms, 2))
 
 
 from pathtracer_tpu.integrator import (PathConfig, PathIntegrator,  # noqa
@@ -62,8 +94,15 @@ if "cornell" in stages:
     film = integ.render(cam_c, sd_c)
     film.block_until_ready()
     dt = time.perf_counter() - t0
-    print(f"[cornell] {integ.last_ray_count/dt/1e6:.1f} Mrays/s "
-          f"({dt:.2f}s)", flush=True)
+    mrays = integ.last_ray_count / dt / 1e6
+    print(f"[cornell] {mrays:.1f} Mrays/s ({dt:.2f}s)", flush=True)
+    bank("cornell_640x480_16spp_d5_mrays", round(mrays, 2))
+    refresh_cache({
+        "metric": "cornell_640x480_16spp_d5_mrays_per_sec",
+        "unit": "Mrays/s", "value": round(mrays, 3),
+        "vs_baseline": round(mrays / 200.0, 4),
+        "cornell_640x480_16spp_d5_mrays": round(mrays, 3),
+    })
 
 if stages & {"trav", "shade", "seg", "e2e"}:
     from pathtracer_tpu.scene.gltf import load_gltf
@@ -73,6 +112,7 @@ if stages & {"trav", "shade", "seg", "e2e"}:
     print(f"[sponza] scene {time.time()-t0:.1f}s "
           f"rows={scene.bw_rows.shape[0]} "
           f"alpha_rows={scene.bwa_rows.shape[0]}", flush=True)
+    bank("sponza_scene_build_s", round(time.time() - t0, 1))
 
     N = 65536
     rng = np.random.default_rng(0)
@@ -171,6 +211,7 @@ if "seg" in stages:
     assert np.isfinite(a).all() and (a[..., 3] > 0).any()
     print(f"[seg] depth15 640x200 1spp OK {time.time()-t0:.1f}s "
           f"(incl compile)", flush=True)
+    bank("seg_depth15_640x200_ok_s", round(time.time() - t0, 1))
 
 # ------------------------------------------------------------------- e2e
 if "e2e" in stages:
@@ -188,9 +229,11 @@ if "e2e" in stages:
         film_r.block_until_ready()
         dt = time.perf_counter() - t0
         rays = integ_r.last_ray_count
+        mrays = rays / dt / 1e6
         print(f"[e2e] sponza {res[0]}x{res[1]} spp1 d5: {dt:.2f}s "
-              f"rays={rays/1e6:.1f}M -> {rays/dt/1e6:.2f} Mrays/s",
+              f"rays={rays/1e6:.1f}M -> {mrays:.2f} Mrays/s",
               flush=True)
+        bank(f"sponza_{res[0]}x{res[1]}_1spp_d5_mrays", round(mrays, 3))
     from pathtracer_tpu.core.film import to_rgb8
     from pathtracer_tpu.utils.image import write_png
     write_png("/tmp/sponza_e2e.png", to_rgb8(film_r))
