@@ -823,7 +823,8 @@ def _wave_bounce(scene, cfg, bounce, st, draw, draw2, draw2_arr=None,
         t_in = jnp.where(active, jnp.inf, 0.0).astype(f32)
         if sort_waves and bounce > 0:
             key = jnp.where(active, st["prev_steps"], jnp.int32(1 << 30))
-            perm = jnp.argsort(key)
+            from .ops.sort import cost_argsort
+            perm = cost_argsort(key)
             hit_p = _scene_intersect(scene, o[perm], d[perm],
                                      t_in[perm], count_steps=True)
             # O(n) scatter inverse (a second argsort would re-sort)

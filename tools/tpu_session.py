@@ -179,6 +179,9 @@ if "shade" in stages:
     key = jnp.asarray(rng.integers(0, 1 << 20, N).astype(np.int32))
     timed("[shade] argsort 65k i32    ",
           jax.jit(lambda k: jnp.argsort(k)), key)
+    from pathtracer_tpu.ops.sort import radix_argsort
+    timed("[shade] radix10 65k i32    ",
+          jax.jit(lambda k: radix_argsort(k)), key)
     from pathtracer_tpu.ops import bsdf as bx
     timed("[shade] gather_params      ",
           jax.jit(lambda uv: bx.gather_params(
