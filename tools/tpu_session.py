@@ -1,14 +1,17 @@
 """One-attach TPU measurement session: runs every open measurement in a
 single process (each fresh attach costs 90s-6min, so batch them all).
 
-Covers, in order (cheapest first, so partial output is still useful):
+Covers, in order (headlines first, so a mid-session tunnel death still
+banks the numbers that matter; tuning ledgers after):
   1. cornell bench (640x480, 16 spp, d5) — the round-1 criterion
-  2. BVH32 traversal ledger on Sponza: plain vs interleave-2 vs chunks,
+  2. Sponza e2e 480x270 and 1920x1080 @1spp d5 (the Config E headline)
+  3. cornell band-size sweep + cornell wave ledger (d0/d1/d3 deltas on
+     the dense-intersect path — where the 80 Mrays/s bar lives)
+  4. BVH32 traversal ledger on Sponza: plain vs interleave-2 vs chunks,
      closest + anyhit, bush (incoherent) + camera rays
-  3. shading ledger deltas (wave d0/d1 with/without NEE)
-  4. segmented-envelope probe: 131k-ray wave at depth 15 (the old cap's
+  5. shading ledger deltas (wave d0/d1 with/without NEE) + sort A/B
+  6. segmented-envelope probe: 131k-ray wave at depth 15 (the old cap's
      impossible case) — crash-matrix replacement
-  5. Sponza e2e 480x270 and 1920x1080 @1spp d5
 
 Usage: python tools/tpu_session.py [stage...]   (default: all)
 """
@@ -27,7 +30,8 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-stages = set(sys.argv[1:]) or {"cornell", "trav", "shade", "seg", "e2e"}
+stages = set(sys.argv[1:]) or {"cornell", "e2e", "cband", "cshade",
+                               "trav", "shade", "seg"}
 
 # Incremental result banking: every stage appends its numbers the moment
 # they exist, so a mid-session tunnel death still keeps partial results
@@ -80,10 +84,11 @@ from pathtracer_tpu.integrator import (PathConfig, PathIntegrator,  # noqa
                                        _scene_intersect_p, trace_wave)
 
 # ---------------------------------------------------------------- cornell
-if "cornell" in stages:
+if stages & {"cornell", "cband", "cshade"}:
     from pathtracer_tpu.scene.mitsuba import load_mitsuba
     cam_c, sd_c, _ = load_mitsuba("data/cornell-box.xml",
                                   resolution=(640, 480))
+if "cornell" in stages:
     integ = PathIntegrator(PathConfig(max_depth=5, mis_mode="onesample"),
                            spp=16)
     t0 = time.time()
@@ -103,6 +108,65 @@ if "cornell" in stages:
         "vs_baseline": round(mrays / 200.0, 4),
         "cornell_640x480_16spp_d5_mrays": round(mrays, 3),
     })
+
+# ------------------------------------------------------------------ cband
+if "cband" in stages:
+    # cornell wave-size sweep: default band is wave_cap//ws = 203 rows
+    # (131k-ray waves); smaller bands trade launch overhead for less
+    # padding waste and more pipeline overlap across launches.
+    spp_b = int(os.environ.get("TPU_SESSION_SPP", 16))  # CPU smoke knob
+    for br in (64, 128, 203):
+        integ_b = PathIntegrator(PathConfig(max_depth=5,
+                                            mis_mode="onesample"),
+                                 spp=spp_b, band_rows=br)
+        film_b = integ_b.render(cam_c, sd_c)
+        film_b.block_until_ready()
+        t0 = time.perf_counter()
+        film_b = integ_b.render(cam_c, sd_c)
+        film_b.block_until_ready()
+        dt = time.perf_counter() - t0
+        mr = integ_b.last_ray_count / dt / 1e6
+        print(f"[cband] band_rows={br:3d}: {mr:6.1f} Mrays/s", flush=True)
+        bank(f"cornell_band{br}_mrays", round(mr, 2))
+
+# ----------------------------------------------------------------- cshade
+if "cshade" in stages:
+    # where does the cornell wave's time go? d0 = rays+intersect+Le;
+    # d1-d0 = one bounce of NEE+BSDF+RR; no-NEE isolates the shadow test.
+    import dataclasses as _dc
+    sc_c = TracedScene.create(sd_c)
+    Nc = int(os.environ.get("TPU_SESSION_NC", 131072))  # CPU smoke knob
+    rng_c = np.random.default_rng(1)
+    o_c = jnp.asarray(np.tile(np.array([[0.0, 1.0, 2.0]], np.float32),
+                              (Nc, 1)))
+    dn_c = rng_c.normal(size=(Nc, 3)).astype(np.float32)
+    dn_c /= np.linalg.norm(dn_c, axis=-1, keepdims=True)
+    d_c = jnp.asarray(dn_c)
+    u1_c = jnp.asarray(rng_c.random(Nc).astype(np.float32))
+    u2_c = jnp.asarray(rng_c.random((Nc, 2)).astype(np.float32))
+
+    def wave_c(cfg, sc):
+        return jax.jit(lambda o, d: trace_wave(
+            sc, cfg, lambda dim: u1_c, lambda dim: u2_c, o, d)[0])
+
+    timed("[cshade] intersect 131k    ",
+          jax.jit(lambda o, d: _scene_intersect(
+              sc_c, o, d, jnp.full((Nc,), jnp.inf, jnp.float32))["t"]),
+          o_c, d_c)
+    timed("[cshade] wave d0           ",
+          wave_c(PathConfig(max_depth=0), sc_c), o_c, d_c)
+    timed("[cshade] wave d1 onesample ",
+          wave_c(PathConfig(max_depth=1, mis_mode="onesample"), sc_c),
+          o_c, d_c)
+    timed("[cshade] wave d1 no-NEE    ",
+          wave_c(PathConfig(max_depth=1),
+                 _dc.replace(sc_c, n_lights=0)), o_c, d_c)
+    timed("[cshade] wave d3 onesample ",
+          wave_c(PathConfig(max_depth=3, mis_mode="onesample"), sc_c),
+          o_c, d_c)
+    timed("[cshade] wave d5 onesample ",
+          wave_c(PathConfig(max_depth=5, mis_mode="onesample"), sc_c),
+          o_c, d_c)
 
 if stages & {"trav", "shade", "seg", "e2e"}:
     from pathtracer_tpu.scene.gltf import load_gltf
@@ -131,6 +195,32 @@ if stages & {"trav", "shade", "seg", "e2e"}:
     o_cam, d_cam = generate_rays(r2c, rot, pos, jnp.asarray(px))
     t_inf = jnp.full((N,), np.inf, jnp.float32)
     t_100 = jnp.full((N,), 100.0, jnp.float32)
+
+# ------------------------------------------------------------------- e2e
+if "e2e" in stages:
+    for res in ((480, 270), (1920, 1080)):
+        cam_r, _, _ = load_gltf("data/sponza_proc.glb", resolution=res)
+        integ_r = PathIntegrator(PathConfig(max_depth=5,
+                                            mis_mode="onesample"), spp=1)
+        t0 = time.time()
+        film_r = integ_r.render(cam_r, scene)
+        film_r.block_until_ready()
+        print(f"[e2e] {res[0]}x{res[1]} warmup(compile) "
+              f"{time.time()-t0:.1f}s", flush=True)
+        t0 = time.perf_counter()
+        film_r = integ_r.render(cam_r, scene)
+        film_r.block_until_ready()
+        dt = time.perf_counter() - t0
+        rays = integ_r.last_ray_count
+        mrays = rays / dt / 1e6
+        print(f"[e2e] sponza {res[0]}x{res[1]} spp1 d5: {dt:.2f}s "
+              f"rays={rays/1e6:.1f}M -> {mrays:.2f} Mrays/s",
+              flush=True)
+        bank(f"sponza_{res[0]}x{res[1]}_1spp_d5_mrays", round(mrays, 3))
+    from pathtracer_tpu.core.film import to_rgb8
+    from pathtracer_tpu.utils.image import write_png
+    write_png("/tmp/sponza_e2e.png", to_rgb8(film_r))
+    print("wrote /tmp/sponza_e2e.png", flush=True)
 
 # ------------------------------------------------------------------ trav
 if "trav" in stages:
@@ -216,28 +306,3 @@ if "seg" in stages:
           f"(incl compile)", flush=True)
     bank("seg_depth15_640x200_ok_s", round(time.time() - t0, 1))
 
-# ------------------------------------------------------------------- e2e
-if "e2e" in stages:
-    for res in ((480, 270), (1920, 1080)):
-        cam_r, _, _ = load_gltf("data/sponza_proc.glb", resolution=res)
-        integ_r = PathIntegrator(PathConfig(max_depth=5,
-                                            mis_mode="onesample"), spp=1)
-        t0 = time.time()
-        film_r = integ_r.render(cam_r, scene)
-        film_r.block_until_ready()
-        print(f"[e2e] {res[0]}x{res[1]} warmup(compile) "
-              f"{time.time()-t0:.1f}s", flush=True)
-        t0 = time.perf_counter()
-        film_r = integ_r.render(cam_r, scene)
-        film_r.block_until_ready()
-        dt = time.perf_counter() - t0
-        rays = integ_r.last_ray_count
-        mrays = rays / dt / 1e6
-        print(f"[e2e] sponza {res[0]}x{res[1]} spp1 d5: {dt:.2f}s "
-              f"rays={rays/1e6:.1f}M -> {mrays:.2f} Mrays/s",
-              flush=True)
-        bank(f"sponza_{res[0]}x{res[1]}_1spp_d5_mrays", round(mrays, 3))
-    from pathtracer_tpu.core.film import to_rgb8
-    from pathtracer_tpu.utils.image import write_png
-    write_png("/tmp/sponza_e2e.png", to_rgb8(film_r))
-    print("wrote /tmp/sponza_e2e.png", flush=True)
