@@ -41,6 +41,16 @@ import json  # noqa: E402
 _BANK = "/root/repo/TPU_SESSION.json"
 _CACHE = "/root/repo/.bench_cache.json"
 
+# CPU smoke runs (JAX_PLATFORMS=cpu) must never masquerade as hardware
+# measurements: bank them to a separate file and never touch the bench
+# cache. (A CPU run once overwrote TPU_SESSION.json with 0.28 Mrays/s
+# "cornell" lines — meaningless as TPU evidence.) Detected from the env,
+# NOT jax.default_backend(): probing backends at import can hang ~25 min
+# against a dead axon tunnel.
+_ON_CPU = "cpu" in os.environ.get("JAX_PLATFORMS", "").lower()
+if _ON_CPU:
+    _BANK = "/root/repo/TPU_SESSION_cpu_smoke.json"
+
 
 def bank(key, value):
     try:
@@ -57,6 +67,8 @@ def bank(key, value):
 def refresh_cache(line):
     """Overwrite .bench_cache.json so even a later total outage replays a
     FRESH measurement instead of a rounds-old one."""
+    if _ON_CPU:
+        return  # smoke run: never seed the driver's stale-line cache
     line["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     with open(_CACHE, "w") as f:
         json.dump(line, f)
@@ -66,6 +78,7 @@ t_attach = time.time()
 jax.device_put(np.zeros(8, np.float32)).block_until_ready()
 print(f"[attach] {time.time()-t_attach:.1f}s", flush=True)
 bank("attach_s", round(time.time() - t_attach, 1))
+bank("platform", jax.default_backend())
 
 
 def timed(name, fn, *args, reps=3):
