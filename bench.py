@@ -65,6 +65,20 @@ class _Timeout(Exception):
     pass
 
 
+def _tuned_marker():
+    """Which hardware-tuned launch geometry this run applied, if any
+    (tuned.json is written by tools/auto_tune.py from the TPU ledger)."""
+    try:
+        with open(os.path.join(os.path.dirname(__file__),
+                               "tuned.json")) as f:
+            t = json.load(f)
+        knobs = {k: v for k, v in t.items()
+                 if not k.startswith("decided")}
+        return {"tuned": knobs} if knobs else {}
+    except Exception:  # noqa: BLE001
+        return {}
+
+
 _CACHE = os.path.join(os.path.dirname(__file__), ".bench_cache.json")
 
 
@@ -115,6 +129,7 @@ def main():
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "sponza_pending": True,
     }
+    out.update(_tuned_marker())
     print(json.dumps(out), flush=True)  # recorded even if killed below
     try:
         with open(_CACHE, "w") as f:
@@ -135,6 +150,7 @@ def main():
             "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                          time.gmtime()),
         }
+        out.update(_tuned_marker())
         print(json.dumps(out), flush=True)
         try:
             with open(_CACHE, "w") as f:

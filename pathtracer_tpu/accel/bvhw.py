@@ -27,14 +27,19 @@ Layout (one (R, 256) f32 table, self-describing rows):
       [9*j .. 9*j+9) tri j vertices p0 p1 p2, [225+j] global tri id
       (-1 pad), [255] kind = 1
 
-Approximate front-to-back ordering generalizes the BVH8 octant trick:
-slots are GROUPED 4-per-octant (slot = octant*4 + sub); children are
-assigned to the group matching their centroid's octant relative to the
-node center, overflowing to the nearest group by XOR hamming distance.
+Approximate front-to-back ordering generalizes the BVH8 octant trick to
+a 5-bit XOR-permutable slot code: bits [4,3,2] = the child centroid's
+octant vs the node center (x, y, z), bits [1,0] = FINE half-axis bits
+(x resp. y vs the midpoint of the child's own x/y half — quartile
+planes). Every bit is a "which side of an axis plane" predicate, so one
+per-ray 5-bit mask (sign of d.x on bits 4 and 1, d.y on 3 and 0, d.z on
+2) XOR-flips the whole code into approximate near-to-far order.
 Traversal builds each node's hit mask directly in PERMUTED bit order
-(bit p = (group XOR ray_octant)*4 + sub), so "next child" is
-count-trailing-zeros — two elementwise ops via population_count — and
-groups are consumed in near-to-far octant order.
+(bit p = slot XOR ray_mask5), so "next child" is count-trailing-zeros —
+two elementwise ops via population_count — and children are consumed
+near-x-half first, then near-y, near-z, fine-x, fine-y. Children
+colliding on a code overflow to the free slot with the smallest XOR
+distance (integer-valued, so coarse-bit damage outweighs fine-bit).
 
 Replaces the reference's per-ray recursive BVH::intersect
 (accelerator.rs:358-475) as the TPU device traversal; the host build
@@ -55,14 +60,7 @@ from .bvh import build_bvh
 BW = 32           # branching
 WW = 256          # row width (f32)
 LEAFW = 25        # max inline triangles per leaf row
-GROUP = BW // 8   # slots per octant group
 STACKW = 10       # collapse asserts depth < STACKW
-
-# candidate octant-group order per preference: groups ranked by hamming
-# distance of (group XOR pref) — nearest-free fallback for full groups
-_GORDER = np.asarray(
-    [sorted(range(8), key=lambda g, p=p: (bin(g ^ p).count("1"), g))
-     for p in range(8)], np.int64)  # (8, 8)
 
 
 def build_bvhw(p0, p1, p2, max_leaf: int = 4):
@@ -82,8 +80,9 @@ def build_bvhw(p0, p1, p2, max_leaf: int = 4):
 
 def bvhw_from_binary(b, p0r, p1r, p2r):
     """Collapse a built binary BVH (accel/bvh.BVHArrays) into the 32-wide
-    row table; same algorithm as attic/accel/bvh8.bvh8_from_binary with the
-    branching, leaf capacity, and octant-group slot policy widened.
+    row table; same algorithm as attic/accel/bvh8.bvh8_from_binary with
+    the branching and leaf capacity widened and the slot policy upgraded
+    from 8 octant groups to the 5-bit XOR code (module docstring).
     p0r/p1r/p2r are the triangle vertices ALREADY permuted into
     ``b.order``. Returns (table (R, 256) f32, depth)."""
     bmin = np.asarray(b.bounds_min, np.float32)
@@ -169,26 +168,39 @@ def bvhw_from_binary(b, p0r, p1r, p2r):
                 cl[sel, j[do]] = node[do] + 1        # first child
                 cl[sel, cnt[do]] = off[node[do]]     # second child
                 cnt[do] += 1
+            # contested slot codes go to the child likeliest to be hit:
+            # assign in descending surface-area order
+            sa_cl = np.where(cl >= 0, sa[np.clip(cl, 0, None)], -np.inf)
+            cl = np.take_along_axis(cl, np.argsort(-sa_cl, axis=1), axis=1)
             have = cl >= 0
             cls = np.clip(cl, 0, None)
-            # --- octant-group slot assignment: pref = centroid octant vs
-            # node center; groups tried in XOR-hamming order, 4 subslots
-            # per group filled in arrival order
+            # --- 5-bit slot-code assignment: bits [4,3,2] = centroid
+            # octant vs node center, bits [1,0] = x/y vs the quartile
+            # plane of the child's own half (every bit a sign-of-axis
+            # predicate, so the traversal's ray mask XOR-flips the code
+            # into near-to-far order). Colliding children take the free
+            # slot with the smallest integer XOR distance (candidate k-th
+            # choice for pref p is simply p XOR k).
             centers = 0.5 * (bmin[cls] + bmax[cls])          # (F, 32, 3)
             nc = 0.5 * (bmin[frontier] + bmax[frontier])     # (F, 3)
-            prefs = ((centers[..., 0] > nc[:, None, 0]) * 4
-                     + (centers[..., 1] > nc[:, None, 1]) * 2
-                     + (centers[..., 2] > nc[:, None, 2])).astype(np.int64)
-            used = np.zeros((fn, 8), np.int64)   # filled subslots per group
+            next_ = (bmax[frontier] - bmin[frontier])        # (F, 3)
+            hx = centers[..., 0] > nc[:, None, 0]
+            hy = centers[..., 1] > nc[:, None, 1]
+            hz = centers[..., 2] > nc[:, None, 2]
+            qx = nc[:, None, 0] + np.where(hx, 0.25, -0.25) * next_[:, None, 0]
+            qy = nc[:, None, 1] + np.where(hy, 0.25, -0.25) * next_[:, None, 1]
+            prefs = (hx * 16 + hy * 8 + hz * 4
+                     + (centers[..., 0] > qx) * 2
+                     + (centers[..., 1] > qy)).astype(np.int64)
+            taken = np.zeros((fn, BW), bool)
             slots = np.full((fn, BW), -1, np.int64)
             for i in range(BW):
                 assigned = np.full(fn, -1, np.int64)
-                for rank in range(8):
-                    g = _GORDER[prefs[:, i], rank]
-                    free = (assigned < 0) & have[:, i] & (used[ar, g] < GROUP)
-                    assigned = np.where(free, g * GROUP + used[ar, g],
-                                        assigned)
-                    used[ar[free], g[free]] += 1
+                for k in range(BW):
+                    s = prefs[:, i] ^ k
+                    free = (assigned < 0) & have[:, i] & ~taken[ar, s]
+                    assigned = np.where(free, s, assigned)
+                    taken[ar[free], s[free]] = True
                 slots[:, i] = assigned
             # --- emit this level's interior rows (children allocated
             # COMPACTLY in ascending-slot order; occupancy mask stored)
@@ -272,15 +284,17 @@ def _traverse_setup(table, o, d, t_max, count_steps):
     i32 = jnp.int32
     u32 = jnp.uint32
     inv_d = 1.0 / d
-    oct_ = ((d[:, 0] < 0).astype(i32) * 4 + (d[:, 1] < 0).astype(i32) * 2
-            + (d[:, 2] < 0).astype(i32))
-    # bit position of slot s in the PERMUTED mask: near octant groups get
-    # the low bits, so next-child = count-trailing-zeros is front-to-back
+    # per-ray 5-bit slot-code mask: sign of d.x flips bits 4 and 1 (16+2),
+    # d.y bits 3 and 0 (8+1), d.z bit 2 (4) — XORing a slot code with this
+    # puts the PERMUTED mask in approximate near-to-far bit order, so
+    # next-child = count-trailing-zeros is front-to-back
+    mask5 = ((d[:, 0] < 0).astype(i32) * 18
+             + (d[:, 1] < 0).astype(i32) * 9
+             + (d[:, 2] < 0).astype(i32) * 4)
     slot_ids = jnp.arange(BW, dtype=i32)[None, :]                  # (1, 32)
-    perm = (jnp.bitwise_xor(slot_ids >> 2, oct_[:, None]) << 2) \
-        | (slot_ids & 3)                                           # (N, 32)
+    perm = jnp.bitwise_xor(slot_ids, mask5[:, None])               # (N, 32)
     bitvals = (jnp.uint32(1) << perm.astype(u32))                  # (N, 32)
-    geom = dict(o=o, d=d, inv_d=inv_d, oct=oct_, bitvals=bitvals)
+    geom = dict(o=o, d=d, inv_d=inv_d, mask5=mask5, bitvals=bitvals)
 
     root = table[0]
     root_hits = _slab32(jnp.broadcast_to(root[None, :], (n, WW)), o, inv_d,
@@ -322,7 +336,7 @@ def _traverse_step(table, st, geom, any_hit, count_steps):
     i32 = jnp.int32
     u32 = jnp.uint32
     o, d, inv_d = geom["o"], geom["d"], geom["inv_d"]
-    oct_, bitvals = geom["oct"], geom["bitvals"]
+    mask5, bitvals = geom["mask5"], geom["bitvals"]
     n = o.shape[0]
 
     live = _traverse_live(st, any_hit)
@@ -344,7 +358,7 @@ def _traverse_step(table, st, geom, any_hit, count_steps):
     low = cur_mask & (jnp.uint32(0) - cur_mask)
     p = jax.lax.population_count(low - 1).astype(i32)  # ctz
     p = jnp.minimum(p, 31)  # mask==0 lanes: keep shifts defined
-    slot = (jnp.bitwise_xor(p >> 2, oct_) << 2) | (p & 3)
+    slot = jnp.bitwise_xor(p, mask5)  # invert the 5-bit code permutation
     cur_mask = cur_mask & (cur_mask - 1)               # clear lowest bit
     # children are stored compactly: row = base + rank of slot among the
     # node's occupied slots

@@ -139,7 +139,8 @@ def _main_closest(scene, o, d, t_max, count_steps=False):
     if scene.bw_rows is not None:
         from .accel.bvhw import bvhw_intersect_chunked
         return bvhw_intersect_chunked(scene.bw_rows, o, d, t_max,
-                                      count_steps=count_steps)
+                                      count_steps=count_steps,
+                                      **_traversal_knobs(scene))
     from .accel.bvh import bvh_intersect
     return bvh_intersect(scene.bvh, scene.tri_pack, o, d, t_max,
                          alpha_pack=None if scene.split_alpha
@@ -148,11 +149,28 @@ def _main_closest(scene, o, d, t_max, count_steps=False):
                          else scene.alpha_texels)
 
 
+def _traversal_knobs(scene):
+    """Hardware-tuned BVH32 launch geometry (tuned.json / PTPU_* env).
+
+    Interleaving doubles the loop body (2 x 25 inline leaf tests), which
+    exploded XLA compile time when unrolled across bounces in the FUSED
+    whole-wave program — so it only ever applies to trees big enough to
+    take the SEGMENTED per-bounce path (compile cost there is per bounce,
+    not x(depth+1))."""
+    from . import tuning
+    chunks = tuning.get("traversal_chunks", 4)
+    il = tuning.get("traversal_interleave", 1)
+    if scene.bw_rows.shape[0] < _SEG_MIN_ROWS:
+        il = 1
+    return dict(chunks=chunks, interleave=il)
+
+
 def _main_anyhit(scene, o, d, t_max):
     if scene.bw_rows is not None:
         from .accel.bvhw import bvhw_intersect_chunked
         return bvhw_intersect_chunked(scene.bw_rows, o, d, t_max,
-                                      any_hit=True)
+                                      any_hit=True,
+                                      **_traversal_knobs(scene))
     from .accel.bvh import bvh_intersect
     return bvh_intersect(scene.bvh, scene.tri_pack, o, d, t_max,
                          any_hit=True,
@@ -1368,6 +1386,11 @@ class PathIntegrator:
                 wave_cap = min(wave_cap,
                                _WAVE_DEPTH_BUDGET // (self.cfg.max_depth + 1))
             band = max(1, wave_cap // ws)
+            if getattr(scene, "bvh", None) is None:
+                # dense-intersect scenes (cornell-class): band height is a
+                # measured knob (tpu_session cband sweep -> auto_tune)
+                from . import tuning
+                band = tuning.get("band_rows_dense", band)
         band = min(band, hs)
         n_bands = -(-hs // band)
         chunk = pm.round_up_pow2(min(chunk_spp or self.spp, self.spp))

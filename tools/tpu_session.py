@@ -31,7 +31,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 stages = set(sys.argv[1:]) or {"cornell", "e2e", "cband", "cshade",
-                               "trav", "shade", "seg"}
+                               "trav", "shade", "seg", "tune"}
 
 # Incremental result banking: every stage appends its numbers the moment
 # they exist, so a mid-session tunnel death still keeps partial results
@@ -128,7 +128,8 @@ if "cband" in stages:
     # (131k-ray waves); smaller bands trade launch overhead for less
     # padding waste and more pipeline overlap across launches.
     spp_b = int(os.environ.get("TPU_SESSION_SPP", 16))  # CPU smoke knob
-    for br in (64, 128, 203):
+    from tools.auto_tune import _BAND_SWEEP
+    for br in _BAND_SWEEP:
         integ_b = PathIntegrator(PathConfig(max_depth=5,
                                             mis_mode="onesample"),
                                  spp=spp_b, band_rows=br)
@@ -238,27 +239,22 @@ if "e2e" in stages:
 # ------------------------------------------------------------------ trav
 if "trav" in stages:
     from pathtracer_tpu.accel.bvhw import (bvhw_intersect,
-                                           bvhw_intersect_chunked,
-                                           bvhw_intersect_il)
+                                           bvhw_intersect_chunked)
     tab = scene.bw_rows
     for rays_name, o_, d_ in (("bush", o_bush, d_bush),
                               ("cam ", o_cam, d_cam)):
         timed(f"[trav] {rays_name} plain   closest",
               jax.jit(lambda o, d: bvhw_intersect(tab, o, d, t_inf)),
               o_, d_)
-        timed(f"[trav] {rays_name} il2     closest",
-              jax.jit(lambda o, d: bvhw_intersect_il(tab, o, d, t_inf,
-                                                     k=2)), o_, d_)
-        timed(f"[trav] {rays_name} il4     closest",
-              jax.jit(lambda o, d: bvhw_intersect_il(tab, o, d, t_inf,
-                                                     k=4)), o_, d_)
-        for ch in (1, 4, 8):
-            timed(f"[trav] {rays_name} chunk{ch}  closest",
-                  jax.jit(lambda o, d, ch=ch: bvhw_intersect_chunked(
-                      tab, o, d, t_inf, chunks=ch)), o_, d_)
-        timed(f"[trav] {rays_name} chunk4i2closest",
-              jax.jit(lambda o, d: bvhw_intersect_chunked(
-                  tab, o, d, t_inf, chunks=4, interleave=2)), o_, d_)
+        # the auto-tune candidate set, measured through the SAME entry
+        # point the integrator dispatches (bvhw_intersect_chunked);
+        # single source of truth with tools/auto_tune.decide
+        from tools.auto_tune import _TRAV_CANDIDATES
+        for (ch, il), sfx in sorted(_TRAV_CANDIDATES.items()):
+            timed(f"[trav] {rays_name} {sfx}",
+                  jax.jit(lambda o, d, ch=ch, il=il: bvhw_intersect_chunked(
+                      tab, o, d, t_inf, chunks=ch, interleave=il)),
+                  o_, d_)
         timed(f"[trav] {rays_name} plain   anyhit ",
               jax.jit(lambda o, d: bvhw_intersect(tab, o, d, t_100,
                                                   any_hit=True)), o_, d_)
@@ -318,4 +314,11 @@ if "seg" in stages:
     print(f"[seg] depth15 640x200 1spp OK {time.time()-t0:.1f}s "
           f"(incl compile)", flush=True)
     bank("seg_depth15_640x200_ok_s", round(time.time() - t0, 1))
+
+# ------------------------------------------------------------------ tune
+if "tune" in stages and not _ON_CPU:
+    # last stage: fold the ledger into tuned.json so the pipeline's
+    # bench.py (and every later render) runs the winning launch geometry
+    from tools.auto_tune import main as auto_tune_main
+    auto_tune_main()
 
