@@ -27,7 +27,7 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BASELINE_TARGET_MRAYS = 200.0  # BASELINE.json: >= 200 Mrays/sec/chip
-SPONZA_BUDGET_S = int(os.environ.get("BENCH_SPONZA_BUDGET_S", "420"))
+SPONZA_BUDGET_S = int(os.environ.get("BENCH_SPONZA_BUDGET_S", "1200"))
 
 
 def _time_render(integ, cam, scene):

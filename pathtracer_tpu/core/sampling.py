@@ -28,6 +28,21 @@ def uniform_hemisphere_pdf():
     return np.float32(0.5 / np.pi)
 
 
+def uniform_sample_sphere(u):
+    """(..., 2) → (..., 3) unit vectors over the full sphere, pdf =
+    1/(4π). The reference has no sphere warp because the only consumer
+    (PointLight::sample_le, light.rs:131) is ``todo!`` there; ours backs
+    the implemented emission-sampling API (ops/lights.sample_le)."""
+    z = 1.0 - 2.0 * u[..., 0]
+    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    phi = 2.0 * np.pi * u[..., 1]
+    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+
+
+def uniform_sphere_pdf():
+    return np.float32(0.25 / np.pi)
+
+
 def concentric_sample_disk(u):
     """(..., 2) → (..., 2) points in the unit disk (ref sampling.rs:96-116)."""
     u_off = 2.0 * u - 1.0
