@@ -1381,15 +1381,19 @@ class PathIntegrator:
         if self.band_rows:
             band = self.band_rows
         else:
+            from . import tuning
             wave_cap = 1 << 17
-            if getattr(scene, "bvh", None) is not None and not segmented:
+            if segmented:
+                # segmented scenes have no fault envelope; rays-per-launch
+                # is a measured knob (tpu_session eband sweep -> auto_tune)
+                wave_cap = tuning.get("seg_wave_lanes", wave_cap)
+            elif getattr(scene, "bvh", None) is not None:
                 wave_cap = min(wave_cap,
                                _WAVE_DEPTH_BUDGET // (self.cfg.max_depth + 1))
             band = max(1, wave_cap // ws)
             if getattr(scene, "bvh", None) is None:
                 # dense-intersect scenes (cornell-class): band height is a
                 # measured knob (tpu_session cband sweep -> auto_tune)
-                from . import tuning
                 band = tuning.get("band_rows_dense", band)
         band = min(band, hs)
         n_bands = -(-hs // band)

@@ -23,8 +23,19 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: the suite is compile-bound (wavefront programs
-# re-jit per shape), so repeat runs skip straight to execution
+# re-jit per shape), so repeat runs skip straight to execution. The suite
+# gets its OWN cache dir, separate from the TPU tools' .jax_cache: a
+# full-suite run segfaulted deserializing an entry from the shared 8 GB
+# cache (jax compilation_cache.get_executable_and_time), and a bad test
+# cache must never be able to poison the TPU measurement pipeline.
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+                  os.path.join(os.path.dirname(__file__), "..",
+                               ".jax_cache_cpu_tests"))
+# 30s threshold: only the genuinely expensive programs (segmented bounce
+# programs, band renders) are persisted. Cheap EAGER-dispatch while_loop
+# executables must stay out of the cache: deserializing one written by
+# the same process aborts in jaxlib (reproduced twice at
+# compilation_cache.get_executable_and_time under the 8-device host
+# platform; jit-compiled entries round-trip fine).
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 30.0)
 assert jax.devices()[0].platform == "cpu"

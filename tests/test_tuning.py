@@ -7,10 +7,12 @@ gather interleave, band rows) — never the math — so every setting must
 produce the identical intersection result.
 """
 
+import functools
 import json
 import os
 import sys
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -29,6 +31,12 @@ def _fresh_tuning_cache():
     tuning.reload()
     yield
     tuning.reload()
+
+
+@pytest.fixture(scope="module")
+def cornell_scene():
+    cam, sd, _ = load_mitsuba("data/cornell-box.xml", resolution=(48, 48))
+    return cam, TracedScene.create(sd, use_bvh=True, use_pallas=False)
 
 
 def _bank_trav(chunk1, chunk4, chunk8, il2=None, il4=None, c4i2=None):
@@ -75,6 +83,34 @@ def test_decide_band_rows():
              "cornell_band203_mrays": 60.0}
     tuned2, _ = decide(bank2)
     assert "band_rows_dense" not in tuned2
+
+
+def test_decide_seg_wave_lanes():
+    bank = {"platform": "axon", "sponza_wave65536_mrays": 5.0,
+            "sponza_wave131072_mrays": 6.0, "sponza_wave262144_mrays": 7.0}
+    tuned, _ = decide(bank)
+    assert tuned["seg_wave_lanes"] == 262144
+    # within margin of the default -> no churn
+    bank["sponza_wave262144_mrays"] = 6.1
+    tuned2, _ = decide(bank)
+    assert "seg_wave_lanes" not in tuned2
+
+
+def test_seg_wave_lanes_changes_launch_geometry_not_film(cornell_scene,
+                                                         monkeypatch):
+    """The segmented rays-per-launch knob must only re-band the wave."""
+    import pathtracer_tpu.integrator as intg
+    from pathtracer_tpu.core.camera import Camera  # noqa: F401
+    from pathtracer_tpu.integrator import PathConfig, PathIntegrator
+    cam, scene = cornell_scene
+    monkeypatch.setattr(intg, "_WAVE_DEPTH_BUDGET", 1)
+    monkeypatch.setattr(intg, "_SEG_MIN_ROWS", 1)  # force segmented
+    f_ref = np.asarray(PathIntegrator(PathConfig(max_depth=2),
+                                      spp=2).render(cam, scene))
+    monkeypatch.setenv("PTPU_SEG_WAVE_LANES", "512")
+    f_small = np.asarray(PathIntegrator(PathConfig(max_depth=2),
+                                        spp=2).render(cam, scene))
+    np.testing.assert_allclose(f_small, f_ref, rtol=2e-4, atol=2e-5)
 
 
 def test_decide_refuses_cpu_smoke_bank():
@@ -135,11 +171,19 @@ def test_knobs_change_launch_geometry_not_results(monkeypatch):
     assert _traversal_knobs(scene)["interleave"] == 2
     monkeypatch.delenv("PTPU_TRAVERSAL_INTERLEAVE")
 
+    # jit with the combo as STATIC args: each setting traces (and reads
+    # its env knobs) exactly once, and the executables take the jit
+    # serialization path — eager-dispatch while_loop executables trip a
+    # jaxlib cache-deserialization abort (see conftest cache note)
+    @functools.partial(jax.jit, static_argnums=(4, 5))
+    def closest(sc, o_, d_, t_, _chunks, _il):
+        return _main_closest(sc, o_, d_, t_)
+
     ref = None
     for chunks, il in ((1, 1), (4, 1), (8, 1), (1, 2), (4, 2)):
         monkeypatch.setenv("PTPU_TRAVERSAL_CHUNKS", str(chunks))
         monkeypatch.setenv("PTPU_TRAVERSAL_INTERLEAVE", str(il))
-        hit = _main_closest(scene, o, d, t)
+        hit = closest(scene, o, d, t, chunks, il)
         if ref is None:
             ref = hit
             continue

@@ -32,6 +32,11 @@ _MARGIN = 0.03
 # decide() picks the winner) — 203 is the computed default at 640x480
 _BAND_SWEEP = (32, 64, 128, 203)
 
+# segmented rays-per-launch sweep (tpu_session "eband" stage, sponza
+# 1080p e2e) — 131072 is the built-in default; per-bounce programs have
+# no fault envelope so larger launches are safe by construction
+_WAVE_SWEEP = (65536, 131072, 262144)
+
 # (traversal_chunks, traversal_interleave) candidates -> the [trav] ledger
 # key suffix that measured them. tools/tpu_session.py GENERATES its trav
 # measurements from this dict (same entry point the integrator uses), so
@@ -101,6 +106,21 @@ def decide(bank: dict) -> tuple[dict, list[str]]:
             notes.append(f"band: keep computed default "
                          f"(best sweep {best_br} rows at "
                          f"{bands[max(bands, key=bands.get)]:.1f} Mrays/s)")
+
+    # --- segmented rays-per-launch (sponza 1080p eband sweep)
+    waves = {wl: bank.get(f"sponza_wave{wl}_mrays") for wl in _WAVE_SWEEP}
+    waves = {wl: float(v) for wl, v in waves.items()
+             if isinstance(v, (int, float)) and v > 0}
+    if len(waves) >= 2 and 131072 in waves:
+        best_wl = max(waves, key=waves.get)
+        if best_wl != 131072 and waves[best_wl] > (1.0 + _MARGIN) * waves[131072]:
+            tuned["seg_wave_lanes"] = best_wl
+            notes.append(f"seg_wave_lanes={best_wl} "
+                         f"({waves[best_wl]:.2f} vs {waves[131072]:.2f} "
+                         "Mrays/s at the default 131072)")
+        else:
+            notes.append(f"seg wave: keep default 131072 (best sweep "
+                         f"{best_wl} at {waves[best_wl]:.2f} Mrays/s)")
     return tuned, notes
 
 

@@ -26,9 +26,12 @@ from pathtracer_tpu.utils.image import write_png  # noqa: E402
 spp = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 depth = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 ck = sys.argv[3] if len(sys.argv) > 3 else "/tmp/sponza_1080.ck.npz"
+# smoke-test knobs (CPU dry runs of the full script glue at tiny res)
+res = (int(os.environ.get("GALLERY_W", 1920)),
+       int(os.environ.get("GALLERY_H", 1080)))
 
 t0 = time.time()
-cam, sd, _ = load_gltf("data/sponza_proc.glb", resolution=(1920, 1080))
+cam, sd, _ = load_gltf("data/sponza_proc.glb", resolution=res)
 scene = TracedScene.create(sd)
 print(f"scene {time.time()-t0:.1f}s rows={scene.bw_rows.shape[0]}",
       flush=True)
@@ -48,6 +51,7 @@ dt = time.time() - t0
 rays = integ.last_ray_count
 print(f"render {dt:.1f}s rays={rays/1e6:.1f}M -> {rays/dt/1e6:.2f} Mrays/s",
       flush=True)
-out = f"gallery/sponza_1080p_{integ.spp}spp.png"
+out = (f"gallery/sponza_1080p_{integ.spp}spp.png" if res == (1920, 1080)
+       else f"/tmp/sponza_{res[0]}x{res[1]}_{integ.spp}spp.png")
 write_png(out, to_rgb8(film))
 print("wrote", out, flush=True)

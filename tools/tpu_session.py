@@ -5,12 +5,13 @@ Covers, in order (headlines first, so a mid-session tunnel death still
 banks the numbers that matter; tuning ledgers after):
   1. cornell bench (640x480, 16 spp, d5) — the round-1 criterion
   2. Sponza e2e 480x270 and 1920x1080 @1spp d5 (the Config E headline)
-  3. cornell band-size sweep + cornell wave ledger (d0/d1/d3 deltas on
+  3. eband: segmented rays-per-launch sweep at 1080p (seg_wave_lanes)
+  4. cornell band-size sweep + cornell wave ledger (d0/d1/d3 deltas on
      the dense-intersect path — where the 80 Mrays/s bar lives)
-  4. BVH32 traversal ledger on Sponza: plain vs interleave-2 vs chunks,
+  5. BVH32 traversal ledger on Sponza: plain vs interleave-2 vs chunks,
      closest + anyhit, bush (incoherent) + camera rays
-  5. shading ledger deltas (wave d0/d1 with/without NEE) + sort A/B
-  6. segmented-envelope probe: 131k-ray wave at depth 15 (the old cap's
+  6. shading ledger deltas (wave d0/d1 with/without NEE) + sort A/B
+  7. segmented-envelope probe: 131k-ray wave at depth 15 (the old cap's
      impossible case) — crash-matrix replacement
 
 Usage: python tools/tpu_session.py [stage...]   (default: all)
@@ -30,8 +31,8 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-stages = set(sys.argv[1:]) or {"cornell", "e2e", "cband", "cshade",
-                               "trav", "shade", "seg", "tune"}
+stages = set(sys.argv[1:]) or {"cornell", "e2e", "eband", "cband",
+                               "cshade", "trav", "shade", "seg", "tune"}
 
 # Incremental result banking: every stage appends its numbers the moment
 # they exist, so a mid-session tunnel death still keeps partial results
@@ -122,6 +123,83 @@ if "cornell" in stages:
         "cornell_640x480_16spp_d5_mrays": round(mrays, 3),
     })
 
+if stages & {"trav", "shade", "seg", "e2e", "eband"}:
+    from pathtracer_tpu.scene.gltf import load_gltf
+    t0 = time.time()
+    cam, sd, _ = load_gltf("data/sponza_proc.glb", resolution=(640, 480))
+    scene = TracedScene.create(sd)
+    print(f"[sponza] scene {time.time()-t0:.1f}s "
+          f"rows={scene.bw_rows.shape[0]} "
+          f"alpha_rows={scene.bwa_rows.shape[0]}", flush=True)
+    bank("sponza_scene_build_s", round(time.time() - t0, 1))
+
+    N = 65536
+    rng = np.random.default_rng(0)
+    center = np.asarray(0.5 * (np.asarray(sd.p0).min(0)
+                               + np.asarray(sd.p0).max(0)))
+    o_bush = jnp.asarray(np.tile(center[None, :] + np.array([0, 1, 0],
+                                                            np.float32),
+                                 (N, 1)).astype(np.float32))
+    dn = rng.normal(size=(N, 3)).astype(np.float32)
+    dn /= np.linalg.norm(dn, axis=-1, keepdims=True)
+    d_bush = jnp.asarray(dn)
+    from pathtracer_tpu.core.camera import generate_rays
+    px = rng.random((N, 2)).astype(np.float32) * np.asarray([640, 480],
+                                                            np.float32)
+    r2c, rot, pos = cam.ray_params()
+    o_cam, d_cam = generate_rays(r2c, rot, pos, jnp.asarray(px))
+    t_inf = jnp.full((N,), np.inf, jnp.float32)
+    t_100 = jnp.full((N,), 100.0, jnp.float32)
+
+# ------------------------------------------------------------------- e2e
+if "e2e" in stages:
+    for res in ((480, 270), (1920, 1080)):
+        cam_r, _, _ = load_gltf("data/sponza_proc.glb", resolution=res)
+        integ_r = PathIntegrator(PathConfig(max_depth=5,
+                                            mis_mode="onesample"), spp=1)
+        t0 = time.time()
+        film_r = integ_r.render(cam_r, scene)
+        film_r.block_until_ready()
+        print(f"[e2e] {res[0]}x{res[1]} warmup(compile) "
+              f"{time.time()-t0:.1f}s", flush=True)
+        t0 = time.perf_counter()
+        film_r = integ_r.render(cam_r, scene)
+        film_r.block_until_ready()
+        dt = time.perf_counter() - t0
+        rays = integ_r.last_ray_count
+        mrays = rays / dt / 1e6
+        print(f"[e2e] sponza {res[0]}x{res[1]} spp1 d5: {dt:.2f}s "
+              f"rays={rays/1e6:.1f}M -> {mrays:.2f} Mrays/s",
+              flush=True)
+        bank(f"sponza_{res[0]}x{res[1]}_1spp_d5_mrays", round(mrays, 3))
+    from pathtracer_tpu.core.film import to_rgb8
+    from pathtracer_tpu.utils.image import write_png
+    write_png("/tmp/sponza_e2e.png", to_rgb8(film_r))
+    print("wrote /tmp/sponza_e2e.png", flush=True)
+
+# ----------------------------------------------------------------- eband
+if "eband" in stages:
+    # segmented rays-per-launch sweep at the Config E resolution: the
+    # per-bounce programs have no fault envelope, so launch size is a
+    # free knob (auto_tune reads sponza_wave{N}_mrays -> seg_wave_lanes)
+    from tools.auto_tune import _WAVE_SWEEP
+    res_eb = (1920, 1080)
+    cam_eb, _, _ = load_gltf("data/sponza_proc.glb", resolution=res_eb)
+    for wl in _WAVE_SWEEP:
+        os.environ["PTPU_SEG_WAVE_LANES"] = str(wl)
+        integ_eb = PathIntegrator(PathConfig(max_depth=5,
+                                             mis_mode="onesample"), spp=1)
+        film_eb = integ_eb.render(cam_eb, scene)
+        film_eb.block_until_ready()
+        t0 = time.perf_counter()
+        film_eb = integ_eb.render(cam_eb, scene)
+        film_eb.block_until_ready()
+        dt = time.perf_counter() - t0
+        mr = integ_eb.last_ray_count / dt / 1e6
+        print(f"[eband] wave_lanes={wl}: {mr:6.2f} Mrays/s", flush=True)
+        bank(f"sponza_wave{wl}_mrays", round(mr, 3))
+    del os.environ["PTPU_SEG_WAVE_LANES"]
+
 # ------------------------------------------------------------------ cband
 if "cband" in stages:
     # cornell wave-size sweep: default band is wave_cap//ws = 203 rows
@@ -182,59 +260,6 @@ if "cshade" in stages:
           wave_c(PathConfig(max_depth=5, mis_mode="onesample"), sc_c),
           o_c, d_c)
 
-if stages & {"trav", "shade", "seg", "e2e"}:
-    from pathtracer_tpu.scene.gltf import load_gltf
-    t0 = time.time()
-    cam, sd, _ = load_gltf("data/sponza_proc.glb", resolution=(640, 480))
-    scene = TracedScene.create(sd)
-    print(f"[sponza] scene {time.time()-t0:.1f}s "
-          f"rows={scene.bw_rows.shape[0]} "
-          f"alpha_rows={scene.bwa_rows.shape[0]}", flush=True)
-    bank("sponza_scene_build_s", round(time.time() - t0, 1))
-
-    N = 65536
-    rng = np.random.default_rng(0)
-    center = np.asarray(0.5 * (np.asarray(sd.p0).min(0)
-                               + np.asarray(sd.p0).max(0)))
-    o_bush = jnp.asarray(np.tile(center[None, :] + np.array([0, 1, 0],
-                                                            np.float32),
-                                 (N, 1)).astype(np.float32))
-    dn = rng.normal(size=(N, 3)).astype(np.float32)
-    dn /= np.linalg.norm(dn, axis=-1, keepdims=True)
-    d_bush = jnp.asarray(dn)
-    from pathtracer_tpu.core.camera import generate_rays
-    px = rng.random((N, 2)).astype(np.float32) * np.asarray([640, 480],
-                                                            np.float32)
-    r2c, rot, pos = cam.ray_params()
-    o_cam, d_cam = generate_rays(r2c, rot, pos, jnp.asarray(px))
-    t_inf = jnp.full((N,), np.inf, jnp.float32)
-    t_100 = jnp.full((N,), 100.0, jnp.float32)
-
-# ------------------------------------------------------------------- e2e
-if "e2e" in stages:
-    for res in ((480, 270), (1920, 1080)):
-        cam_r, _, _ = load_gltf("data/sponza_proc.glb", resolution=res)
-        integ_r = PathIntegrator(PathConfig(max_depth=5,
-                                            mis_mode="onesample"), spp=1)
-        t0 = time.time()
-        film_r = integ_r.render(cam_r, scene)
-        film_r.block_until_ready()
-        print(f"[e2e] {res[0]}x{res[1]} warmup(compile) "
-              f"{time.time()-t0:.1f}s", flush=True)
-        t0 = time.perf_counter()
-        film_r = integ_r.render(cam_r, scene)
-        film_r.block_until_ready()
-        dt = time.perf_counter() - t0
-        rays = integ_r.last_ray_count
-        mrays = rays / dt / 1e6
-        print(f"[e2e] sponza {res[0]}x{res[1]} spp1 d5: {dt:.2f}s "
-              f"rays={rays/1e6:.1f}M -> {mrays:.2f} Mrays/s",
-              flush=True)
-        bank(f"sponza_{res[0]}x{res[1]}_1spp_d5_mrays", round(mrays, 3))
-    from pathtracer_tpu.core.film import to_rgb8
-    from pathtracer_tpu.utils.image import write_png
-    write_png("/tmp/sponza_e2e.png", to_rgb8(film_r))
-    print("wrote /tmp/sponza_e2e.png", flush=True)
 
 # ------------------------------------------------------------------ trav
 if "trav" in stages:
