@@ -116,6 +116,39 @@ class Camera:
         return jnp.asarray(np.stack([self.dx_camera, self.dy_camera]),
                            jnp.float32)
 
+    def project_params(self):
+        """World→raster projection pack for connect-to-camera splatting
+        (light tracing). Returns (cam_to_raster (4,4), w2c_rot (3,3),
+        w2c_pos (3,), fwd_world (3,), importance) — ``importance`` is
+        z0²/A_pix, the pixel-mean-radiance conversion constant of the
+        pinhole importance function We (z0 = image-plane distance, A_pix
+        = image-plane area per pixel; the ratio is znear-independent)."""
+        w2c = np.linalg.inv(self.cam_to_world)
+        c2r = np.linalg.inv(self.raster_to_camera)
+        p00 = transform_point(self.raster_to_camera, np.zeros(3))
+        z0 = abs(float(p00[2]))
+        a_pix = float(np.linalg.norm(np.cross(self.dx_camera,
+                                              self.dy_camera)))
+        fwd = -self.cam_to_world[:3, 2]  # camera looks down -z
+        return (jnp.asarray(c2r, jnp.float32),
+                jnp.asarray(w2c[:3, :3], jnp.float32),
+                jnp.asarray(w2c[:3, 3], jnp.float32),
+                jnp.asarray(fwd, jnp.float32),
+                jnp.float32(z0 * z0 / max(a_pix, 1e-30)))
+
+
+def project_points(cam_to_raster, w2c_rot, w2c_pos, p_world):
+    """Batched world→raster projection (the raygen chain inverted).
+
+    Returns (raster (..., 2), z_cam (...,)) — points with z_cam >= 0 are
+    behind the pinhole (camera looks down -z) and must be culled by the
+    caller before using the raster coordinates."""
+    p_cam = p_world @ w2c_rot.T + w2c_pos
+    ph = jnp.concatenate([p_cam, jnp.ones_like(p_cam[..., :1])], axis=-1)
+    pr = ph @ cam_to_raster.T
+    w = jnp.where(jnp.abs(pr[..., 3:4]) > 1e-20, pr[..., 3:4], 1e-20)
+    return pr[..., :2] / w, p_cam[..., 2]
+
 
 def generate_rays(raster_to_camera, cam_rot, cam_pos, p_film):
     """Batched pinhole raygen (ref pathtracer/mod.rs:44-57).

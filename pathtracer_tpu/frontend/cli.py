@@ -73,6 +73,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "BSDF branch like the reference; 'onesample' "
                         "reuses the continuation ray (pbrt-v4 form, one "
                         "traversal fewer per bounce)")
+    p.add_argument("--lighttrace", type=int, default=0, metavar="PATHS",
+                   help="render with the adjoint light tracer instead of "
+                        "the path tracer, emitting PATHS light paths "
+                        "(sample_le-based; the reference declares but "
+                        "never implements emission sampling)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace of the render to DIR "
                         "(view with tensorboard/xprof) and log per-bounce "
@@ -141,6 +146,20 @@ def main(argv=None) -> int:
         x, y = (int(v) for v in args.single_pixel.split(","))
         from .debug import render_single_pixel
         render_single_pixel(camera, traced, cfg, (x, y), args.samples)
+        return 0
+
+    if args.lighttrace:
+        import os
+        from ..core.film import to_rgb8
+        from ..integrator_lt import LightTracer
+        from ..utils.image import write_png
+        ltr = LightTracer(cfg, paths=args.lighttrace)
+        film = ltr.render(camera, traced)
+        out = args.output
+        if os.path.isdir(out):
+            out = os.path.join(out, "render.png")
+        write_png(out, to_rgb8(film))
+        log.info("light-traced %d paths -> %s", ltr.paths, out)
         return 0
 
     integ = PathIntegrator(cfg, spp=args.samples, filter_kind=args.filter)
