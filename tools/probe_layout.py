@@ -95,6 +95,25 @@ timed("state10_n3 boundary", step, st_n3)
 timed("state10_3n boundary", step, st_3n)
 timed("state30_flat bound.", step, st_fl)
 
+# ---- 2b. flat-packed boundary, (N,3) compute inside: the cheap fix —
+# params cross the boundary as (3N,) compact, first op reshapes to (N,3)
+# for the body, last op flattens back. If XLA fuses the reshapes into
+# the consumers this costs ~nothing and keeps the whole integrator's
+# (N,3) internals untouched.
+st_fl3 = [jnp.asarray(rng.random((3 * N,), np.float32)) for _ in range(10)]
+
+
+def step_pack(st):
+    return [(a.reshape(N, 3) * 1.0001 + 0.01).reshape(3 * N) for a in st]
+
+
+timed("state10_packflat   ", jax.jit(step_pack), st_fl3)
+
+# ---- 2c. bare dispatch overhead: a trivial program on 8 floats — the
+# per-launch floor every segmented bounce pays through the tunnel.
+tiny = jnp.zeros(8, jnp.float32)
+timed("dispatch tiny      ", jax.jit(lambda x: x + 1.0), tiny)
+
 # ---- 3. loop-carry materialization
 def loop_n3(b):
     return jax.lax.fori_loop(0, 32, lambda i, b: b * 0.999 + 1.0, b)
