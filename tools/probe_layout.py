@@ -114,6 +114,28 @@ timed("state10_packflat   ", jax.jit(step_pack), st_fl3)
 tiny = jnp.zeros(8, jnp.float32)
 timed("dispatch tiny      ", jax.jit(lambda x: x + 1.0), tiny)
 
+# ---- 2d. film accumulate layout: band-region dynamic_update_slice add
+# on a (H, W, 4) film (minor dim 4 — padded?) vs (4, H, W) planes.
+H, W, B = 1088, 1920, 64
+film_hw4 = jnp.zeros((H, W, 4), jnp.float32)
+film_4hw = jnp.zeros((4, H, W), jnp.float32)
+tile_hw4 = jnp.asarray(rng.random((B, W, 4), np.float32))
+tile_4hw = jnp.asarray(np.moveaxis(np.asarray(tile_hw4), -1, 0))
+
+
+def acc_hw4(f, t):
+    reg = jax.lax.dynamic_slice(f, (512, 0, 0), (B, W, 4))
+    return jax.lax.dynamic_update_slice(f, reg + t, (512, 0, 0))
+
+
+def acc_4hw(f, t):
+    reg = jax.lax.dynamic_slice(f, (0, 512, 0), (4, B, W))
+    return jax.lax.dynamic_update_slice(f, reg + t, (0, 512, 0))
+
+
+timed("film_acc (H,W,4)   ", jax.jit(acc_hw4), film_hw4, tile_hw4)
+timed("film_acc (4,H,W)   ", jax.jit(acc_4hw), film_4hw, tile_4hw)
+
 # ---- 3. loop-carry materialization
 def loop_n3(b):
     return jax.lax.fori_loop(0, 32, lambda i, b: b * 0.999 + 1.0, b)
