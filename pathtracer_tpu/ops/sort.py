@@ -50,8 +50,42 @@ def radix_argsort(key: jnp.ndarray, bits: int = RADIX_BITS) -> jnp.ndarray:
     return perm
 
 
+def bucket_argsort(key: jnp.ndarray, nb: int = 16,
+                   shift: int = 4) -> jnp.ndarray:
+    """Stable counting argsort into nb = 2^k COARSE cost buckets.
+
+    The wave sort only has to group lanes of similar traversal cost so
+    each chunked sub-wave's while_loop trips to a similar bound — exact
+    ordering buys nothing. bucket = min(key >> shift, nb-1) keeps dead-
+    lane sentinels (huge keys) in the last bucket. One (nb, N) cumsum +
+    one scatter, ~5x less work than the 10-pass radix and no bitonic
+    network; everything but the final scatter is elementwise/reduce.
+    """
+    n = key.shape[0]
+    i32 = jnp.int32
+    bk = jnp.minimum(jnp.maximum(key.astype(i32), 0) >> shift, nb - 1)
+    onehot = (bk[None, :] == jnp.arange(nb, dtype=i32)[:, None])  # (nb, N)
+    oh = onehot.astype(i32)
+    within = jnp.cumsum(oh, axis=1) - oh      # exclusive rank in bucket
+    counts = within[:, -1] + oh[:, -1]        # (nb,) bucket sizes
+    offs = jnp.cumsum(counts) - counts        # exclusive bucket offsets
+    pos = jnp.sum(oh * (offs[:, None] + within), axis=0)
+    return jnp.zeros((n,), i32).at[pos].set(jnp.arange(n, dtype=i32))
+
+
+_MODES = ("argsort", "radix", "bucket")
+
+
 def cost_argsort(key: jnp.ndarray) -> jnp.ndarray:
-    """Permutation ordering wave lanes by cost key (see MODE)."""
-    if MODE == "radix":
+    """Permutation ordering wave lanes by cost key.
+
+    Mode precedence: PTPU_WAVE_SORT_MODE env / tuned.json
+    ``wave_sort_mode`` (index into _MODES) > the module MODE default."""
+    from .. import tuning
+    mode = _MODES[tuning.get("wave_sort_mode",
+                             _MODES.index(MODE)) % len(_MODES)]
+    if mode == "radix":
         return radix_argsort(key)
+    if mode == "bucket":
+        return bucket_argsort(key)
     return jnp.argsort(key).astype(jnp.int32)

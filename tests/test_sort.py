@@ -47,3 +47,27 @@ def test_cost_argsort_modes_agree_on_grouping():
     # the integrator only needs the cost grouping, and it inverts the
     # permutation afterwards either way)
     assert (key[pa] == key[pr]).all()
+
+
+def test_bucket_argsort_groups_and_permutes():
+    rng = np.random.default_rng(11)
+    # live keys below the last bucket (real step counts are ~0-60; lanes
+    # costlier than 15 << 4 legitimately share the sentinel bucket)
+    key = rng.integers(0, 240, size=4096).astype(np.int32)
+    dead = rng.random(4096) < 0.3
+    key = np.where(dead, 1 << 30, key).astype(np.int32)
+    perm = np.asarray(ps.bucket_argsort(jnp.asarray(key)))
+    assert sorted(perm.tolist()) == list(range(4096))  # a permutation
+    # bucket-granular ordering: bucket ids non-decreasing along the perm
+    bk = np.minimum(np.maximum(key, 0) >> 4, 15)
+    assert (np.diff(bk[perm]) >= 0).all()
+    # dead sentinels (last bucket) all sort after every live lane
+    n_live = int((~dead).sum())
+    assert not dead[perm][:n_live].any()
+
+
+def test_bucket_argsort_stable_within_bucket():
+    key = jnp.asarray(np.array([40, 3, 41, 2, 300, 45], np.int32))
+    perm = np.asarray(ps.bucket_argsort(key))
+    # buckets (>>4): [2,0,2,0,15,2] -> zeros [1,3], twos [0,2,5], 15 [4]
+    assert perm.tolist() == [1, 3, 0, 2, 5, 4]

@@ -303,9 +303,11 @@ if "shade" in stages:
     key = jnp.asarray(rng.integers(0, 1 << 20, N).astype(np.int32))
     timed("[shade] argsort 65k i32    ",
           jax.jit(lambda k: jnp.argsort(k)), key)
-    from pathtracer_tpu.ops.sort import radix_argsort
+    from pathtracer_tpu.ops.sort import bucket_argsort, radix_argsort
     timed("[shade] radix10 65k i32    ",
           jax.jit(lambda k: radix_argsort(k)), key)
+    timed("[shade] bucket16 65k i32   ",
+          jax.jit(lambda k: bucket_argsort(k)), key)
     from pathtracer_tpu.ops import bsdf as bx
     timed("[shade] gather_params      ",
           jax.jit(lambda uv: bx.gather_params(
