@@ -40,9 +40,17 @@ integ = PathIntegrator(PathConfig(max_depth=depth, mis_mode="onesample"),
                        spp=spp)
 t0 = time.time()
 
+out = (f"gallery/sponza_1080p_{integ.spp}spp.png" if res == (1920, 1080)
+       else f"/tmp/sponza_{res[0]}x{res[1]}_{integ.spp}spp.png")
+
 
 def progress(film, done):
-    print(f"  {done}/{integ.spp} spp  {time.time()-t0:.0f}s", flush=True)
+    # Write the partial image every chunk: the additive (rgb*w, sum_w)
+    # accumulator normalizes correctly at any sample count, so an
+    # interrupted run still leaves a valid (noisier) gallery artifact.
+    write_png(out, to_rgb8(film))
+    print(f"  {done}/{integ.spp} spp  {time.time()-t0:.0f}s  -> {out}",
+          flush=True)
 
 
 film = integ.render_progressive(cam, scene, chunk_spp=4, callback=progress,
@@ -51,7 +59,5 @@ dt = time.time() - t0
 rays = integ.last_ray_count
 print(f"render {dt:.1f}s rays={rays/1e6:.1f}M -> {rays/dt/1e6:.2f} Mrays/s",
       flush=True)
-out = (f"gallery/sponza_1080p_{integ.spp}spp.png" if res == (1920, 1080)
-       else f"/tmp/sponza_{res[0]}x{res[1]}_{integ.spp}spp.png")
 write_png(out, to_rgb8(film))
 print("wrote", out, flush=True)
