@@ -1168,7 +1168,7 @@ _WAVE_DEPTH_BUDGET = 6 * 65536
 _SEG_MIN_ROWS = 2048
 
 
-def _seg_gen_impl(scene, cfg, band_shape, px, py, b_base, scramble,
+def _seg_gen_impl(scene, cfg, px, py, b_base, scramble,
                   f_lo, f_hi, f_delta, frame, inv_lo, inv_hi,
                   r2c, cam_rot, cam_pos, sobol_pack, sobol_scale,
                   sobol_off_x, sobol_off_y, total_spp_log2=0,
@@ -1214,8 +1214,7 @@ def _seg_gen_impl(scene, cfg, band_shape, px, py, b_base, scramble,
 
 
 _seg_gen = functools.partial(
-    jax.jit, static_argnames=("cfg", "band_shape", "total_spp_log2"))(
-        _seg_gen_impl)
+    jax.jit, static_argnames=("cfg", "total_spp_log2"))(_seg_gen_impl)
 
 
 def _seg_draws(cfg, aux, scramble, sobol_pack, total_spp_log2):
@@ -1312,11 +1311,22 @@ class PathIntegrator:
         """One sample frame of one band as per-bounce jitted segments
         (ray-gen -> max_depth+1 bounce programs -> splat). Device
         programs stay below the axon fault envelope at ANY depth, so
-        this path has no wave cap and no chunk=1 forcing."""
+        this path has no wave cap and no chunk=1 forcing.
+
+        The expensive gen/bounce programs are shape-keyed ONLY by the
+        flat lane count (the driver pads it to the wave cap) and the
+        total_spp_log2 static is normalized away for samplers that
+        ignore it, so one compiled set serves every resolution and spp
+        (cold remote compiles cost 2-6 min per bounce program on this
+        backend). Padded tail lanes are sliced off before the splat,
+        whose program is keyed by the true band shape (cheap compile)."""
         cfg = self.cfg
-        tsl = pm.log2_int(self.spp)
+        # sobol/random draws never read total_spp_log2; pinning the
+        # static to 0 lets spp=1 e2e, spp=4 bench and spp=64 gallery
+        # share the same compiled bounce programs.
+        tsl = pm.log2_int(self.spp) if cfg.sampler == "stratified" else 0
         st, aux, jx, jy, rxd, ryd = _seg_gen(
-            scene, cfg, band_shape, px, py, b_base, scramble,
+            scene, cfg, px, py, b_base, scramble,
             f_lo, f_hi, f_delta, frame, inv_lo, inv_hi,
             r2c, cam_rot, cam_pos, sobol_pack, sobol_scale,
             sobol_off_x, sobol_off_y, total_spp_log2=tsl,
@@ -1329,6 +1339,12 @@ class PathIntegrator:
                              ryd=ryd if bounce == 0 else None)
             if cfg.count_occupancy:
                 occs.append(st["n_live"])
+        n0 = band_shape[0] * band_shape[1]
+        if st["o"].shape[0] != n0:  # drop compile-padding tail lanes
+            st = {k: (v[:n0] if getattr(v, "ndim", 0) >= 1
+                      and v.shape[0] > n0 else v)
+                  for k, v in st.items()}
+            jx, jy = jx[:n0], jy[:n0]
         film_pad, rays, n_bad = _seg_splat(
             cfg, band_shape, st, jx, jy, valid, film_pad, x0, by0,
             filter_f1d=ft, filter_radius=self.filter_radius)
@@ -1419,6 +1435,18 @@ class PathIntegrator:
                 film_pad = jnp.asarray(ck["film_pad"])
                 s_start = int(ck["next_frame"])
 
+        # Compile-unification padding (segmented path): pad the flat
+        # lane count of near-full waves up to the wave cap so the
+        # expensive per-bounce programs (2-6 min cold remote compiles,
+        # ~60 MB binaries each) are shape-shared across resolutions —
+        # 480p/1080p/bench/gallery all trace exactly wave_cap lanes.
+        # Tiny bands (explicit band_rows, small images) stay unpadded.
+        seg_pad = 0
+        if segmented and not self.band_rows:
+            lanes = band * ws
+            if wave_cap >= lanes > (wave_cap * 7) // 8:
+                seg_pad = wave_cap - lanes
+
         # per-band pixel statics (host, once)
         bands = []
         for bi in range(n_bands):
@@ -1427,10 +1455,14 @@ class PathIntegrator:
                                  np.arange(by0, by0 + band), indexing="xy")
             px = xs.ravel().astype(np.int32)
             py = ys.ravel().astype(np.int32)
+            valid = py < y1
+            if seg_pad:  # dead tail lanes, sliced off before the splat
+                px = np.concatenate([px, np.full(seg_pad, px[-1], np.int32)])
+                py = np.concatenate([py, np.full(seg_pad, py[-1], np.int32)])
             scramble, b_base = sb.pixel_statics(
                 domain, px, np.minimum(py, y1 - 1))
             bands.append((by0, jnp.asarray(px), jnp.asarray(py),
-                          jnp.asarray(py < y1), jnp.asarray(b_base),
+                          jnp.asarray(valid), jnp.asarray(b_base),
                           jnp.asarray(scramble)))
 
         for s0 in range(s_start, self.spp, chunk):

@@ -205,7 +205,7 @@ def _render_sharded_segmented(camera, scene, mesh, cfg, spp, spp_local,
     def seg_gen_sh(scene_rep, px_s, py_s, b_base_s, scr_s,
                    f_lo_s, f_hi_s, f_delta_s, frame_s):
         st, aux, jx, jy, rxd, ryd = _seg_gen_impl(
-            scene_rep, cfg, band_shape, px_s, py_s, b_base_s, scr_s,
+            scene_rep, cfg, px_s, py_s, b_base_s, scr_s,
             f_lo_s[0], f_hi_s[0], f_delta_s[0], frame_s[:1],
             inv_lo, inv_hi, r2c, cam_rot, cam_pos, sobol_pack,
             sob_scale, sob_ox, sob_oy, total_spp_log2=tsl,
