@@ -48,7 +48,10 @@ def progress(film, done):
     # Write the partial image every chunk: the additive (rgb*w, sum_w)
     # accumulator normalizes correctly at any sample count, so an
     # interrupted run still leaves a valid (noisier) gallery artifact.
-    write_png(out, to_rgb8(film))
+    # Write-temp + os.replace so an interrupt mid-write can't leave a
+    # truncated PNG at the artifact path (ADVICE r4).
+    write_png(out + ".tmp", to_rgb8(film))
+    os.replace(out + ".tmp", out)
     print(f"  {done}/{integ.spp} spp  {time.time()-t0:.0f}s  -> {out}",
           flush=True)
 
