@@ -53,7 +53,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.intersect import watertight_hit_diag
+from ..ops.intersect import (watertight_cols_pre, watertight_hit_cols,
+                             watertight_hit_diag)
 from ..core import math as pm
 from .bvh import build_bvh
 
@@ -276,9 +277,15 @@ def _slab32(row, o, inv_d, t_best):
     return (tn <= tf) & (tf > 0.0) & (tn < t_best[:, None])
 
 
-def _traverse_setup(table, o, d, t_max, count_steps):
+def _traverse_setup(table, o, d, t_max, count_steps, stackw=STACKW):
     """Per-(sub-)wave traversal state + ray-geometry pack shared by the
-    plain and interleaved drivers."""
+    plain and interleaved drivers.
+
+    stackw: stack rows carried through the while_loop. Interior->interior
+    descends push at most (tree depth - 1) times, so callers that know
+    the build depth (TracedScene.bw_depth) size the stack exactly —
+    Sponza's depth-3 tree carries 3 rows instead of 10, cutting the
+    per-step stack-shift traffic ~3x."""
     n = o.shape[0]
     f32 = jnp.float32
     i32 = jnp.int32
@@ -296,6 +303,12 @@ def _traverse_setup(table, o, d, t_max, count_steps):
     bitvals = (jnp.uint32(1) << perm.astype(u32))                  # (N, 32)
     geom = dict(o=o, d=d, inv_d=inv_d, mask5=mask5, bitvals=bitvals)
 
+    # per-ray watertight shear constants, hoisted out of the loop as flat
+    # (N,) columns: the "cols" leaf mode never touches an (N, 3) array —
+    # XLA tiles rank-2 f32 as (8, 128) on the minor dims, so narrow
+    # (N, 3) intermediates pad 3 -> 128 lanes (42x VPU waste)
+    geom["cols"] = watertight_cols_pre(o, d)
+
     root = table[0]
     root_hits = _slab32(jnp.broadcast_to(root[None, :], (n, WW)), o, inv_d,
                         t_max)
@@ -307,17 +320,31 @@ def _traverse_setup(table, o, d, t_max, count_steps):
         cur_mask=mask0,
         cur_occ=jnp.broadcast_to(
             root[193].astype(u32) | (root[194].astype(u32) << 16), (n,)),
-        sb=jnp.zeros((STACKW, n), i32),
-        sm=jnp.zeros((STACKW, n), u32),
-        so=jnp.zeros((STACKW, n), u32),
+        sb=jnp.zeros((stackw, n), i32),
+        sm=jnp.zeros((stackw, n), u32),
+        so=jnp.zeros((stackw, n), u32),
         sp=jnp.zeros((n,), i32),
         t_best=t_max,
         tri=jnp.zeros((n,), i32),
-        b=jnp.zeros((n, 3), f32),
+        # barycentrics as FLAT columns: the (N, 3) form would pad its
+        # minor dim 3 -> 128 in every per-triangle where-update
+        b0=jnp.zeros((n,), f32),
+        b1=jnp.zeros((n,), f32),
+        b2=jnp.zeros((n,), f32),
         found=jnp.zeros((n,), bool),
     )
     if count_steps:
         st["steps"] = jnp.zeros((n,), i32)
+    return st, geom
+
+
+def _anyhit_slim(st, geom):
+    """Occlusion queries never report t/tri/barycentrics: drop them from
+    the loop carry (t_max still bounds the slab/leaf tests, but it is
+    loop-INVARIANT for any-hit, so it rides in geom instead of state)."""
+    geom = dict(geom, t_max=st["t_best"])
+    st = {k: v for k, v in st.items()
+          if k not in ("t_best", "tri", "b0", "b1", "b2")}
     return st, geom
 
 
@@ -328,11 +355,85 @@ def _traverse_live(st, any_hit):
     return live
 
 
-def _traverse_step(table, st, geom, any_hit, count_steps):
+def _leaf_chain(geom, t_best, row, lact, tri, bc, found):
+    """25 inline watertight tests as a sequential running-min chain,
+    all-columns form (watertight_hit_cols): no (N, 3) intermediates."""
+    i32 = jnp.int32
+    b0, b1, b2 = bc
+    pre = geom["cols"]
+    for j in range(LEAFW):
+        t_j, b0_j, b1_j, b2_j, h_j = watertight_hit_cols(
+            pre, t_best, [row[:, 9 * j + k] for k in range(9)])
+        id_j = row[:, 9 * LEAFW + j].astype(i32)
+        take = lact & h_j & (id_j >= 0)
+        t_best = jnp.where(take, t_j, t_best)
+        tri = jnp.where(take, id_j, tri)
+        b0 = jnp.where(take, b0_j, b0)
+        b1 = jnp.where(take, b1_j, b1)
+        b2 = jnp.where(take, b2_j, b2)
+        found = found | take
+    return t_best, tri, (b0, b1, b2), found
+
+
+def _leaf_batched(geom, t_best, row, lact, tri, bc, found):
+    """25 leaf tests as ONE broadcast watertight call over a (N, 25)
+    middle axis + a min-reduction — no 25-deep where-chain, so the VPU
+    sees independent element-wise work instead of a serial dependency."""
+    i32 = jnp.int32
+    o, d = geom["o"], geom["d"]
+    n = o.shape[0]
+    b0, b1, b2 = bc
+    tris = row[:, :9 * LEAFW].reshape(n, LEAFW, 9)
+    ids = row[:, 9 * LEAFW:10 * LEAFW].astype(i32)               # (N, 25)
+    t_a, b_a, h_a = watertight_hit_diag(
+        o[:, None, :], d[:, None, :], t_best[:, None],
+        tris[:, :, 0:3], tris[:, :, 3:6], tris[:, :, 6:9])
+    h_a = h_a & (ids >= 0) & lact[:, None]
+    t_m = jnp.where(h_a, t_a, jnp.inf)                           # (N, 25)
+    t_min = jnp.min(t_m, axis=1)
+    any_h = t_min < jnp.inf
+    # one-hot select of the argmin column (first minimum wins ties) —
+    # stays on the VPU, no per-lane small-axis gathers
+    first = (t_m == t_min[:, None])
+    first = first & (jnp.cumsum(first.astype(i32), axis=1) == 1)
+    sel_i = jnp.sum(jnp.where(first, ids, 0), axis=1)
+    t_best = jnp.where(any_h, t_min, t_best)
+    tri = jnp.where(any_h, sel_i, tri)
+    fw = first & any_h[:, None]
+    b0 = jnp.where(any_h, jnp.sum(jnp.where(fw, b_a[:, :, 0], 0.0), axis=1),
+                   b0)
+    b1 = jnp.where(any_h, jnp.sum(jnp.where(fw, b_a[:, :, 1], 0.0), axis=1),
+                   b1)
+    b2 = jnp.where(any_h, jnp.sum(jnp.where(fw, b_a[:, :, 2], 0.0), axis=1),
+                   b2)
+    return t_best, tri, (b0, b1, b2), found | any_h
+
+
+def _leaf_anyhit(geom, t_max, row, lact, found):
+    """Occlusion leaf test: hit/no-hit only, no best-hit bookkeeping,
+    all-columns form."""
+    i32 = jnp.int32
+    pre = geom["cols"]
+    for j in range(LEAFW):
+        _, _, _, _, h_j = watertight_hit_cols(
+            pre, t_max, [row[:, 9 * j + k] for k in range(9)])
+        id_j = row[:, 9 * LEAFW + j].astype(i32)
+        found = found | (lact & h_j & (id_j >= 0))
+    return found
+
+
+def _traverse_step(table, st, geom, any_hit, count_steps,
+                   leaf_mode="chain",
+                   do_leaf=True, do_interior=True, do_stack=True):
     """ONE traversal iteration: pop, gather the child row (THE one gather
     per step), leaf-test or slab-test, push/descend. Shared by
     bvhw_intersect (one while_loop) and bvhw_intersect_il (k sub-waves
-    advanced per loop body so their gathers pipeline)."""
+    advanced per loop body so their gathers pipeline).
+
+    do_leaf/do_interior/do_stack gate the step's component work — probe
+    hooks ONLY (tools/probe_step_cost.py attributes per-step cost to
+    gather vs leaf vs slab vs stack); production callers leave them on.
+    """
     i32 = jnp.int32
     u32 = jnp.uint32
     o, d, inv_d = geom["o"], geom["d"], geom["inv_d"]
@@ -340,18 +441,21 @@ def _traverse_step(table, st, geom, any_hit, count_steps):
     n = o.shape[0]
 
     live = _traverse_live(st, any_hit)
-    do_pop = (st["cur_mask"] == 0) & (st["sp"] > 0) & live
     sb, sm, so = st["sb"], st["sm"], st["so"]
-    cur_base = jnp.where(do_pop, sb[0], st["cur_base"])
-    cur_mask = jnp.where(do_pop, sm[0], st["cur_mask"])
-    cur_occ = jnp.where(do_pop, so[0], st["cur_occ"])
-    sb = jnp.where(do_pop[None, :],
-                   jnp.concatenate([sb[1:], sb[:1] * 0], axis=0), sb)
-    sm = jnp.where(do_pop[None, :],
-                   jnp.concatenate([sm[1:], sm[:1] * 0], axis=0), sm)
-    so = jnp.where(do_pop[None, :],
-                   jnp.concatenate([so[1:], so[:1] * 0], axis=0), so)
-    sp = jnp.where(do_pop, st["sp"] - 1, st["sp"])
+    cur_base, cur_mask, cur_occ = st["cur_base"], st["cur_mask"], st["cur_occ"]
+    sp = st["sp"]
+    if do_stack:
+        do_pop = (cur_mask == 0) & (sp > 0) & live
+        cur_base = jnp.where(do_pop, sb[0], cur_base)
+        cur_mask = jnp.where(do_pop, sm[0], cur_mask)
+        cur_occ = jnp.where(do_pop, so[0], cur_occ)
+        sb = jnp.where(do_pop[None, :],
+                       jnp.concatenate([sb[1:], sb[:1] * 0], axis=0), sb)
+        sm = jnp.where(do_pop[None, :],
+                       jnp.concatenate([sm[1:], sm[:1] * 0], axis=0), sm)
+        so = jnp.where(do_pop[None, :],
+                       jnp.concatenate([so[1:], so[:1] * 0], axis=0), so)
+        sp = jnp.where(do_pop, sp - 1, sp)
     act = live & (cur_mask != 0)
 
     # next child: lowest set PERMUTED bit (approximate front-to-back)
@@ -370,42 +474,60 @@ def _traverse_step(table, st, geom, any_hit, count_steps):
     row = table[child]  # THE one gather per iteration
     is_leaf = row[:, 255] > 0.5
 
-    # --- leaf: 25 inline watertight tests
-    t_best, tri, b, found = st["t_best"], st["tri"], st["b"], st["found"]
+    # --- leaf tests
+    found = st["found"]
+    t_bound = geom["t_max"] if any_hit else st["t_best"]
     lact = act & is_leaf
-    for j in range(LEAFW):
-        t_j, b_j, h_j = watertight_hit_diag(
-            o, d, t_best, row[:, 9 * j:9 * j + 3],
-            row[:, 9 * j + 3:9 * j + 6], row[:, 9 * j + 6:9 * j + 9])
-        id_j = row[:, 9 * LEAFW + j].astype(i32)
-        take = lact & h_j & (id_j >= 0)
-        t_best = jnp.where(take, t_j, t_best)
-        tri = jnp.where(take, id_j, tri)
-        b = jnp.where(take[:, None], b_j, b)
-        found = found | take
+    if not do_leaf:
+        t_best = t_bound
+        tri = st.get("tri")
+        bc = (st.get("b0"), st.get("b1"), st.get("b2"))
+    elif any_hit:
+        found = _leaf_anyhit(geom, t_bound, row, lact, found)
+        t_best = t_bound
+    elif leaf_mode == "batched":
+        t_best, tri, bc, found = _leaf_batched(
+            geom, t_bound, row, lact, st["tri"],
+            (st["b0"], st["b1"], st["b2"]), found)
+    else:
+        t_best, tri, bc, found = _leaf_chain(
+            geom, t_bound, row, lact, st["tri"],
+            (st["b0"], st["b1"], st["b2"]), found)
 
     # --- interior: slab-test the 32 grandchildren, descend
-    iact = act & ~is_leaf
-    hits = _slab32(row, o, inv_d, t_best) & iact[:, None]
-    new_mask = jnp.sum(jnp.where(hits, bitvals, jnp.uint32(0)), axis=1,
-                       dtype=u32)
-    new_base = row[:, 192].astype(i32)
-    new_occ = row[:, 193].astype(u32) | (row[:, 194].astype(u32) << 16)
-    descend = iact & (new_mask != 0)
-    push = descend & (cur_mask != 0)
-    sb = jnp.where(push[None, :],
-                   jnp.concatenate([cur_base[None], sb[:-1]], axis=0), sb)
-    sm = jnp.where(push[None, :],
-                   jnp.concatenate([cur_mask[None], sm[:-1]], axis=0), sm)
-    so = jnp.where(push[None, :],
-                   jnp.concatenate([cur_occ[None], so[:-1]], axis=0), so)
-    sp = jnp.where(push, sp + 1, sp)
+    if do_interior:
+        iact = act & ~is_leaf
+        hits = _slab32(row, o, inv_d, t_best) & iact[:, None]
+        new_mask = jnp.sum(jnp.where(hits, bitvals, jnp.uint32(0)), axis=1,
+                           dtype=u32)
+        new_base = row[:, 192].astype(i32)
+        new_occ = row[:, 193].astype(u32) | (row[:, 194].astype(u32) << 16)
+        descend = iact & (new_mask != 0)
+    else:
+        descend = act & ~is_leaf
+        new_base = row[:, 192].astype(i32)
+        new_mask = jnp.full((n,), 1, u32)
+        new_occ = new_mask
+    if do_stack:
+        push = descend & (cur_mask != 0)
+        sb = jnp.where(push[None, :],
+                       jnp.concatenate([cur_base[None], sb[:-1]], axis=0),
+                       sb)
+        sm = jnp.where(push[None, :],
+                       jnp.concatenate([cur_mask[None], sm[:-1]], axis=0),
+                       sm)
+        so = jnp.where(push[None, :],
+                       jnp.concatenate([cur_occ[None], so[:-1]], axis=0),
+                       so)
+        sp = jnp.where(push, sp + 1, sp)
 
     out = dict(cur_base=jnp.where(descend, new_base, cur_base),
                cur_mask=jnp.where(descend, new_mask, cur_mask),
                cur_occ=jnp.where(descend, new_occ, cur_occ),
-               sb=sb, sm=sm, so=so, sp=sp,
-               t_best=t_best, tri=tri, b=b, found=found)
+               sb=sb, sm=sm, so=so, sp=sp, found=found)
+    if not any_hit:
+        out.update(t_best=t_best, tri=tri,
+                   b0=bc[0], b1=bc[1], b2=bc[2])
     if count_steps:
         out["steps"] = st["steps"] + live.astype(i32)
     return out
@@ -417,14 +539,17 @@ def _traverse_result(final, any_hit, count_steps):
             else final["found"]
     valid = final["found"]
     out = dict(valid=valid, t=jnp.where(valid, final["t_best"], 0.0),
-               tri=final["tri"], b=final["b"])
+               tri=final["tri"],
+               b=jnp.stack([final["b0"], final["b1"], final["b2"]],
+                           axis=-1))
     if count_steps:
         out["steps"] = final["steps"]
     return out
 
 
 def bvhw_intersect(table, o, d, t_max, any_hit: bool = False,
-                   count_steps: bool = False):
+                   count_steps: bool = False, stackw: int = STACKW,
+                   leaf_mode: str = "chain"):
     """Lockstep BVH32 traversal: ONE (N, 256) row gather per iteration.
 
     table: (R, 256) device table from build_bvhw. Returns the
@@ -432,16 +557,21 @@ def bvhw_intersect(table, o, d, t_max, any_hit: bool = False,
     Lanes with t_max <= 0 are dead on entry (wavefront compaction).
     """
     table = jnp.asarray(table)
-    st, geom = _traverse_setup(table, o, d, t_max, count_steps)
+    st, geom = _traverse_setup(table, o, d, t_max, count_steps,
+                               stackw=stackw)
+    if any_hit:
+        st, geom = _anyhit_slim(st, geom)
     final = jax.lax.while_loop(
         lambda s: jnp.any(_traverse_live(s, any_hit)),
-        lambda s: _traverse_step(table, s, geom, any_hit, count_steps),
+        lambda s: _traverse_step(table, s, geom, any_hit, count_steps,
+                                 leaf_mode=leaf_mode),
         st)
     return _traverse_result(final, any_hit, count_steps)
 
 
 def bvhw_intersect_il(table, o, d, t_max, k: int = 2,
-                      any_hit: bool = False, count_steps: bool = False):
+                      any_hit: bool = False, count_steps: bool = False,
+                      stackw: int = STACKW, leaf_mode: str = "chain"):
     """INTERLEAVED traversal: k independent sub-waves advance inside ONE
     while_loop body, so their k row gathers (distinct gather ops with no
     data dependency) pipeline on the gather engine — measured ~5.2
@@ -455,8 +585,10 @@ def bvhw_intersect_il(table, o, d, t_max, k: int = 2,
     table = jnp.asarray(table)
     subs = [_traverse_setup(table, o[i * c:(i + 1) * c],
                             d[i * c:(i + 1) * c], t_max[i * c:(i + 1) * c],
-                            count_steps)
+                            count_steps, stackw=stackw)
             for i in range(k)]
+    if any_hit:
+        subs = [_anyhit_slim(s, g) for s, g in subs]
     geoms = [g for _, g in subs]
 
     def cond(sts):
@@ -467,7 +599,7 @@ def bvhw_intersect_il(table, o, d, t_max, k: int = 2,
 
     def body(sts):
         return tuple(_traverse_step(table, sts[i], geoms[i], any_hit,
-                                    count_steps)
+                                    count_steps, leaf_mode=leaf_mode)
                      for i in range(k))
 
     finals = jax.lax.while_loop(cond, body, tuple(s for s, _ in subs))
@@ -484,7 +616,8 @@ def bvhw_intersect_il(table, o, d, t_max, k: int = 2,
 def bvhw_intersect_chunked(table, o, d, t_max, chunks: int = 4,
                            any_hit: bool = False,
                            count_steps: bool = False,
-                           interleave: int = 1):
+                           interleave: int = 1, stackw: int = STACKW,
+                           leaf_mode: str = "chain"):
     """Independent sub-wave loops (the TPU runtime overlaps them; see
     bvh.bvh_intersect_chunked), optionally k-way interleaved so each
     chunk's gathers pipeline. interleave defaults OFF in the fused
@@ -500,9 +633,11 @@ def bvhw_intersect_chunked(table, o, d, t_max, chunks: int = 4,
                 and o_.shape[0] >= 2048 * interleave:
             return bvhw_intersect_il(table, o_, d_, t_, k=interleave,
                                      any_hit=any_hit,
-                                     count_steps=count_steps and not any_hit)
+                                     count_steps=count_steps and not any_hit,
+                                     stackw=stackw, leaf_mode=leaf_mode)
         return bvhw_intersect(table, o_, d_, t_, any_hit=any_hit,
-                              count_steps=count_steps and not any_hit)
+                              count_steps=count_steps and not any_hit,
+                              stackw=stackw, leaf_mode=leaf_mode)
 
     if chunks <= 1 or n < 4096 * chunks or n % chunks != 0:
         return one(o, d, t_max)

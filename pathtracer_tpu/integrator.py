@@ -162,7 +162,8 @@ def _traversal_knobs(scene):
     il = tuning.get("traversal_interleave", 1)
     if scene.bw_rows.shape[0] < _SEG_MIN_ROWS:
         il = 1
-    return dict(chunks=chunks, interleave=il)
+    return dict(chunks=chunks, interleave=il, stackw=scene.bw_depth,
+                leaf_mode=tuning.get_str("bvhw_leaf_mode", "chain"))
 
 
 def _main_anyhit(scene, o, d, t_max):
@@ -180,6 +181,20 @@ def _main_anyhit(scene, o, d, t_max):
                          else scene.alpha_texels)
 
 
+def _alpha_tree_isect(scene, o, d, t_max):
+    """One closest-hit pass over the alpha-subset 32-wide tree: chunked
+    (chunks whose lanes are ALL dead — e.g. in retry passes where only
+    cut lanes stay live — exit their while_loop on the first cond check)
+    with a stack sized to the small tree's actual depth."""
+    from .accel.bvhw import bvhw_intersect_chunked
+    from . import tuning
+    return bvhw_intersect_chunked(
+        scene.bwa_rows, o, d, t_max,
+        chunks=tuning.get("traversal_chunks", 4),
+        stackw=scene.bwa_depth,
+        leaf_mode=tuning.get_str("bvhw_leaf_mode", "chain"))
+
+
 def _alpha_tree_closest(scene, o, d, t_max):
     """Closest UN-CUT hit in the alpha subset: small 32-wide tree treating
     masked tris as opaque + bounded re-spawn retries for hits that land on
@@ -188,10 +203,8 @@ def _alpha_tree_closest(scene, o, d, t_max):
     the ACCUMULATED distance from the original origin (re-spawn offsets
     make it approximate at ~1e-4 relative — used only to prune the main
     traversal; shading recomputes p from barycentrics)."""
-    from .accel.bvhw import bvhw_intersect
-
     def isect(o_, t_):
-        h = bvhw_intersect(scene.bwa_rows, o_, d, t_)
+        h = _alpha_tree_isect(scene, o_, d, t_)
         h["tri"] = jnp.where(
             h["valid"],
             scene.bwa_map[jnp.maximum(h["tri"], 0)], 0)
@@ -231,10 +244,9 @@ def _alpha_tree_anyhit(scene, o, d, t_max):
     """Occlusion against the alpha subset via the 32-wide tree: closest
     hits walked past cut layers (same structure as _scene_intersect_p's
     retry loop)."""
-    from .accel.bvhw import bvhw_intersect
 
     def isect(o_, t_):
-        h = bvhw_intersect(scene.bwa_rows, o_, d, t_)
+        h = _alpha_tree_isect(scene, o_, d, t_)
         h["tri"] = jnp.where(
             h["valid"], scene.bwa_map[jnp.maximum(h["tri"], 0)], 0)
         return h
@@ -459,6 +471,11 @@ class TracedScene:
     # A=1320, 65k lanes)
     bwa_rows: Any = None  # (Ra, 256)
     bwa_map: Any = None   # (A,) i32
+    # static interior depths of the 32-wide trees: traversal sizes its
+    # while_loop stack exactly (pushes <= depth-1), instead of carrying
+    # the 10-row worst case (accel/bvhw._traverse_setup)
+    bw_depth: int = 10
+    bwa_depth: int = 10
 
     @staticmethod
     def create(scene_data, use_bvh: bool | None = None,
@@ -538,23 +555,27 @@ class TracedScene:
             p1r = _np.asarray(scene_data.p1)
             p2r = _np.asarray(scene_data.p2)
             n_main = n_opaque if split_alpha else f
-            tw, _depthw = bvhw_from_binary(bvh, p0r[:n_main], p1r[:n_main],
-                                           p2r[:n_main])
+            tw, bw_depth = bvhw_from_binary(bvh, p0r[:n_main], p1r[:n_main],
+                                            p2r[:n_main])
             bw_rows = tw  # host; pushed with the one tree_map sweep below
+        else:
+            bw_depth = 10
         bwa_rows = None
         bwa_map = None
+        bwa_depth = 10
         if bw_rows is not None and split_alpha and n_alpha > 512:
             from .accel.bvhw import build_bvhw
             p0a = _np.asarray(scene_data.p0)[n_opaque:]
             p1a = _np.asarray(scene_data.p1)[n_opaque:]
             p2a = _np.asarray(scene_data.p2)[n_opaque:]
-            twa, order_a, _d = build_bvhw(p0a, p1a, p2a)
+            twa, order_a, bwa_depth = build_bvhw(p0a, p1a, p2a)
             bwa_rows = twa
             bwa_map = _np.asarray(n_opaque + order_a, _np.int32)
         ts = TracedScene(
             scene_data, bvh, use_pallas, mat_set, has_nm,
             split_alpha=split_alpha, n_opaque=n_opaque, bvh_alpha=bvh_alpha,
             bw_rows=bw_rows, bwa_rows=bwa_rows, bwa_map=bwa_map,
+            bw_depth=bw_depth, bwa_depth=bwa_depth,
             tri_pack=pack_triangles(scene_data.p0, scene_data.p1,
                                     scene_data.p2),
             alpha_pack=a_pack, alpha_texels=a_texels,
@@ -584,7 +605,8 @@ jax.tree_util.register_pytree_node(
                 s.bw_rows, s.bwa_rows, s.bwa_map),
                (s.use_pallas, s.mat_set, s.has_normal_maps, s.has_tex,
                 s.has_env, s.n_lights, s.light_set, s.has_alpha,
-                s.split_alpha, s.n_opaque, s.tex_channels)),
+                s.split_alpha, s.n_opaque, s.tex_channels,
+                s.bw_depth, s.bwa_depth)),
     lambda aux, kids: TracedScene(
         kids[0], kids[1], aux[0], aux[1], aux[2],
         tri_attr=kids[2], light_attr=kids[3], mat_attr=kids[4],
@@ -593,7 +615,7 @@ jax.tree_util.register_pytree_node(
         bwa_rows=kids[10], bwa_map=kids[11],
         has_tex=aux[3], has_env=aux[4], n_lights=aux[5], light_set=aux[6],
         has_alpha=aux[7], split_alpha=aux[8], n_opaque=aux[9],
-        tex_channels=aux[10]),
+        tex_channels=aux[10], bw_depth=aux[11], bwa_depth=aux[12]),
 )
 
 
@@ -696,7 +718,7 @@ def estimate_direct(scene, cfg, it, mp, u_scatt, u_light, light_idx,
 
 
 def trace_wave(scene, cfg: PathConfig, draw, draw2, o, d,
-               rxd=None, ryd=None, draw2_arr=None):
+               rxd=None, ryd=None, draw2_arr=None, lane_valid=None):
     """Trace one wavefront of rays to completion; returns (L (N,3), rays).
 
     draw(dim) / draw2(dim) produce one/two sampler dimensions for the whole
@@ -712,7 +734,7 @@ def trace_wave(scene, cfg: PathConfig, draw, draw2, o, d,
     lane alive until max_depth, so the while_loop's early exit bought
     nothing.
     """
-    st = _wave_init(scene, cfg, o, d)
+    st = _wave_init(scene, cfg, o, d, lane_valid=lane_valid)
     occupancy = []  # live-lane count per bounce (queue-occupancy counter)
     for bounce in range(cfg.max_depth + 1):
         st = _wave_bounce(scene, cfg, bounce, st, draw, draw2,
@@ -757,16 +779,24 @@ def _wave_flags(scene, cfg):
 _SORT_MIN_ROWS = 2048
 
 
-def _wave_init(scene, cfg, o, d):
-    """Fresh per-bounce wavefront state for a wave of camera rays."""
+def _wave_init(scene, cfg, o, d, lane_valid=None):
+    """Fresh per-bounce wavefront state for a wave of camera rays.
+
+    lane_valid (N,) bool marks real lanes: band-clip and compile-padding
+    tail lanes start INACTIVE so they neither cost traversal iterations
+    nor inflate the per-bounce n_live/rays counters that feed the
+    Mrays/s metrics (they used to overcount by up to ~14% when seg_pad
+    engaged)."""
     n = o.shape[0]
     f32 = jnp.float32
     _, one_sample, _, _, _ = _wave_flags(scene, cfg)
+    active0 = (jnp.ones((n,), bool) if lane_valid is None
+               else jnp.asarray(lane_valid).reshape(n))
     return dict(
         o=o, d=d,
         l=jnp.zeros((n, 3), f32),
         beta=jnp.ones((n, 3), f32),
-        active=jnp.ones((n,), bool),
+        active=active0,
         # onesample: "specular" doubles as bounce-0 full-weight Le
         specular=jnp.full((n,), one_sample, bool),
         eta_scale=jnp.ones((n,), f32),
@@ -1133,7 +1163,8 @@ def render_band(scene, cfg: PathConfig, spp: int, band_shape: tuple[int, int],
             rxd = ryd = None
         radiance, rays, n_bad, occ = trace_wave(scene, cfg, draw, draw2,
                                                 o, d, rxd, ryd,
-                                                draw2_arr=draw2_arr)
+                                                draw2_arr=draw2_arr,
+                                                lane_valid=valid_lanes)
         tile = splat_tile(radiance.reshape(th, tw, 3),
                           jx.reshape(th, tw), jy.reshape(th, tw),
                           valid, filter_f1d, radius=filter_radius)
@@ -1172,7 +1203,7 @@ def _seg_gen_impl(scene, cfg, px, py, b_base, scramble,
                   f_lo, f_hi, f_delta, frame, inv_lo, inv_hi,
                   r2c, cam_rot, cam_pos, sobol_pack, sobol_scale,
                   sobol_off_x, sobol_off_y, total_spp_log2=0,
-                  dxdy_cam=None, diff_scale=1.0):
+                  dxdy_cam=None, diff_scale=1.0, lane_valid=None):
     """Segmented renderer, stage 1: camera rays + sampler state for ONE
     sample frame of one band (the ray-gen half of render_band.per_frame).
 
@@ -1210,7 +1241,8 @@ def _seg_gen_impl(scene, cfg, px, py, b_base, scramble,
     else:
         o, d = generate_rays(r2c, cam_rot, cam_pos, p_film)
         rxd = ryd = None
-    return _wave_init(scene, cfg, o, d), aux, jx, jy, rxd, ryd
+    st = _wave_init(scene, cfg, o, d, lane_valid=lane_valid)
+    return st, aux, jx, jy, rxd, ryd
 
 
 _seg_gen = functools.partial(
@@ -1325,12 +1357,20 @@ class PathIntegrator:
         # static to 0 lets spp=1 e2e, spp=4 bench and spp=64 gallery
         # share the same compiled bounce programs.
         tsl = pm.log2_int(self.spp) if cfg.sampler == "stratified" else 0
+        # pad the validity mask to the (possibly compile-padded) lane
+        # count: pad-tail lanes start INACTIVE (no traversal cost, no
+        # ray-count inflation — ADVICE r4)
+        n_lanes = px.shape[0]
+        lv = valid
+        if lv.shape[0] != n_lanes:
+            lv = jnp.concatenate(
+                [lv, jnp.zeros((n_lanes - lv.shape[0],), bool)])
         st, aux, jx, jy, rxd, ryd = _seg_gen(
             scene, cfg, px, py, b_base, scramble,
             f_lo, f_hi, f_delta, frame, inv_lo, inv_hi,
             r2c, cam_rot, cam_pos, sobol_pack, sobol_scale,
             sobol_off_x, sobol_off_y, total_spp_log2=tsl,
-            dxdy_cam=dxdy_cam, diff_scale=diff_scale)
+            dxdy_cam=dxdy_cam, diff_scale=diff_scale, lane_valid=lv)
         occs = []
         for bounce in range(cfg.max_depth + 1):
             st = _seg_bounce(scene, cfg, bounce, st, aux, scramble,
@@ -1341,8 +1381,16 @@ class PathIntegrator:
                 occs.append(st["n_live"])
         n0 = band_shape[0] * band_shape[1]
         if st["o"].shape[0] != n0:  # drop compile-padding tail lanes
+            n_pad = st["o"].shape[0]
+            for k, v in st.items():
+                # every lane-major array must carry exactly the padded
+                # lane count; anything else would be silently truncated
+                # by the slice below (ADVICE r4)
+                assert getattr(v, "ndim", 0) == 0 or \
+                    v.shape[0] in (n_pad, 1), \
+                    f"non-lane-major wave entry {k}: {v.shape}"
             st = {k: (v[:n0] if getattr(v, "ndim", 0) >= 1
-                      and v.shape[0] > n0 else v)
+                      and v.shape[0] == n_pad else v)
                   for k, v in st.items()}
             jx, jy = jx[:n0], jy[:n0]
         film_pad, rays, n_bad = _seg_splat(

@@ -178,6 +178,94 @@ def watertight_hit_diag(o, d, t_max, p0, p1, p2):
     return t, b, hit
 
 
+def watertight_cols_pre(o, d):
+    """Per-ray shear constants for watertight_hit_cols, as FLAT columns.
+
+    Same math as watertight_hit_diag's prologue (kz = argmax |d|
+    permutation + shear coefficients), computed once per ray so a
+    traversal loop testing many triangles per ray hoists it out of the
+    loop body. Everything is a flat (N,) array: XLA TPU tiles rank-2
+    f32 (8, 128) on the minor dims, so the (N, 3) forms pad 3 -> 128
+    lanes — a 42x VPU/HBM waste the hot loop cannot afford.
+    """
+    o0, o1, o2 = o[..., 0], o[..., 1], o[..., 2]
+    d0, d1, d2 = d[..., 0], d[..., 1], d[..., 2]
+    ad0, ad1, ad2 = jnp.abs(d0), jnp.abs(d1), jnp.abs(d2)
+    kz = jnp.where(ad0 > ad1,
+                   jnp.where(ad0 > ad2, 0, 2),
+                   jnp.where(ad1 > ad2, 1, 2))
+    kx = jnp.where(kz == 2, 0, kz + 1)
+    ky = jnp.where(kx == 2, 0, kx + 1)
+
+    def sel3(k, c0, c1, c2):
+        return jnp.where(k == 0, c0, jnp.where(k == 1, c1, c2))
+
+    dz = sel3(kz, d0, d1, d2)
+    return dict(kx=kx, ky=ky, kz=kz, o0=o0, o1=o1, o2=o2,
+                sx=-sel3(kx, d0, d1, d2) / dz,
+                sy=-sel3(ky, d0, d1, d2) / dz,
+                sz=1.0 / dz)
+
+
+def watertight_hit_cols(pre, t_max, c9):
+    """Watertight test of ray i against triangle i, all-columns form.
+
+    pre: watertight_cols_pre(o, d); t_max: (N,); c9: 9 flat (N,)
+    columns [p0.x p0.y p0.z p1.x .. p2.z] in world space. Returns
+    (t, b0, b1, b2, hit) — barycentrics as columns. Bit-identical math
+    to watertight_hit_diag; only the data layout differs (no (N, 3)
+    intermediates anywhere).
+    """
+    kx, ky, kz = pre["kx"], pre["ky"], pre["kz"]
+    sx, sy, sz = pre["sx"], pre["sy"], pre["sz"]
+
+    def sel3(k, c0, c1, c2):
+        return jnp.where(k == 0, c0, jnp.where(k == 1, c1, c2))
+
+    def shear(cx, cy, cz):
+        a0 = cx - pre["o0"]
+        a1 = cy - pre["o1"]
+        a2 = cz - pre["o2"]
+        px = sel3(kx, a0, a1, a2)
+        py = sel3(ky, a0, a1, a2)
+        pz = sel3(kz, a0, a1, a2)
+        return px + sx * pz, py + sy * pz, pz
+
+    p0x, p0y, p0z = shear(c9[0], c9[1], c9[2])
+    p1x, p1y, p1z = shear(c9[3], c9[4], c9[5])
+    p2x, p2y, p2z = shear(c9[6], c9[7], c9[8])
+    e0 = p1x * p2y - p1y * p2x
+    e1 = p2x * p0y - p2y * p0x
+    e2 = p0x * p1y - p0y * p1x
+    neg = (e0 < 0) | (e1 < 0) | (e2 < 0)
+    pos = (e0 > 0) | (e1 > 0) | (e2 > 0)
+    edge_ok = ~(neg & pos)
+    det = e0 + e1 + e2
+    det_ok = det != 0.0
+    p0z, p1z, p2z = p0z * sz, p1z * sz, p2z * sz
+    t_scaled = e0 * p0z + e1 * p1z + e2 * p2z
+    range_ok = jnp.where(
+        det < 0,
+        (t_scaled < 0.0) & (t_scaled >= t_max * det),
+        (t_scaled > 0.0) & (t_scaled <= t_max * det),
+    )
+    inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+    t = t_scaled * inv_det
+    max_zt = jnp.maximum(jnp.abs(p0z), jnp.maximum(jnp.abs(p1z), jnp.abs(p2z)))
+    max_xt = jnp.maximum(jnp.abs(p0x), jnp.maximum(jnp.abs(p1x), jnp.abs(p2x)))
+    max_yt = jnp.maximum(jnp.abs(p0y), jnp.maximum(jnp.abs(p1y), jnp.abs(p2y)))
+    delta_z = GAMMA3 * max_zt
+    delta_x = GAMMA5 * (max_xt + max_zt)
+    delta_y = GAMMA5 * (max_yt + max_zt)
+    delta_e = 2.0 * (GAMMA2 * max_xt * max_yt + delta_y * max_xt
+                     + delta_x * max_yt)
+    max_e = jnp.maximum(jnp.abs(e0), jnp.maximum(jnp.abs(e1), jnp.abs(e2)))
+    delta_t = 3.0 * (GAMMA3 * max_e * max_zt + delta_e * max_zt
+                     + delta_z * max_e) * jnp.abs(inv_det)
+    hit = edge_ok & det_ok & range_ok & (t > delta_t)
+    return t, e0 * inv_det, e1 * inv_det, e2 * inv_det, hit
+
+
 def intersect_brute(o, d, t_max, p0, p1, p2):
     """Closest hit over all triangles.
 

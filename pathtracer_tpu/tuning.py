@@ -50,6 +50,15 @@ def get(key: str, default: int) -> int:
         return default
 
 
+def get_str(key: str, default: str) -> str:
+    """String knob: PTPU_<KEY> env > tuned.json > default."""
+    env = os.environ.get("PTPU_" + key.upper())
+    if env is not None:
+        return env
+    v = _load().get(key, default)
+    return v if isinstance(v, str) else default
+
+
 def reload() -> None:
     """Drop the cached tuned.json (tests / after auto_tune writes)."""
     _load.cache_clear()

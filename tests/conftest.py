@@ -39,3 +39,11 @@ jax.config.update("jax_compilation_cache_dir",
 # platform; jit-compiled entries round-trip fine).
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 30.0)
 assert jax.devices()[0].platform == "cpu"
+
+
+def pytest_configure(config):
+    # fast/slow tier split: `-m "not slow"` is the quick CI tier
+    # (target < 5 min on one CPU core); the full suite includes the
+    # CPU-minutes renders (segmented sponza, goldens, cross-validation)
+    config.addinivalue_line(
+        "markers", "slow: CPU-minutes test (excluded from the quick tier)")

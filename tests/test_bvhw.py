@@ -23,9 +23,14 @@ def _random_rays(rng, n, spread=6.0):
 
 
 # sizes straddle every layout case: single leaf row (<= 25), one interior
-# level, multi-level with full 32-child nodes, and odd leaf fills
+# level, multi-level with full 32-child nodes, and odd leaf fills.
+# leaf_mode covers both inline-leaf-test forms (sequential chain and the
+# batched broadcast+min-reduce); stackw exercises the depth-sized stack
+# (pushes <= depth-1, so stackw=depth must lose nothing vs the 10-row
+# worst case)
+@pytest.mark.parametrize("leaf_mode", ["chain", "batched"])
 @pytest.mark.parametrize("f", [1, 5, 24, 26, 113, 600, 3000])
-def test_bvhw_matches_brute(f):
+def test_bvhw_matches_brute(f, leaf_mode):
     rng = np.random.default_rng(f)
     p0, p1, p2 = _random_soup(rng, f)
     table, order, depth = build_bvhw(p0, p1, p2)
@@ -33,7 +38,8 @@ def test_bvhw_matches_brute(f):
     o, d = _random_rays(rng, 512)
     tmax = jnp.full((512,), jnp.inf, jnp.float32)
 
-    hv = bvhw_intersect(jnp.asarray(table), o, d, tmax)
+    hv = bvhw_intersect(jnp.asarray(table), o, d, tmax,
+                        stackw=max(depth, 1), leaf_mode=leaf_mode)
     hb = intersect_brute(o, d, tmax, jnp.asarray(p0r), jnp.asarray(p1r),
                          jnp.asarray(p2r))
     np.testing.assert_array_equal(np.asarray(hv["valid"]),
@@ -44,9 +50,10 @@ def test_bvhw_matches_brute(f):
     np.testing.assert_array_equal(np.asarray(hv["tri"])[v],
                                   np.asarray(hb["tri"])[v])
 
-    # any-hit with finite t_max agrees on occlusion
+    # any-hit with finite t_max agrees on occlusion (slim carry path)
     tb = jnp.where(hb["valid"], hb["t"] * 1.5, 0.5)
-    pv = bvhw_intersect(jnp.asarray(table), o, d, tb, any_hit=True)
+    pv = bvhw_intersect(jnp.asarray(table), o, d, tb, any_hit=True,
+                        stackw=max(depth, 1))
     pb = intersect_brute(o, d, tb, jnp.asarray(p0r), jnp.asarray(p1r),
                          jnp.asarray(p2r))["valid"]
     np.testing.assert_array_equal(np.asarray(pv), np.asarray(pb))
