@@ -14,6 +14,21 @@ interior levels, cutting rows-gathered-per-ray by ~4-6x vs the 8-wide
 64-float layout (attic/accel/bvh8.py) on top of the ~1.7x cheaper
 gathers.
 
+Per-step cost attribution on hardware (tools/probe_step_cost.py ->
+PROBE_STEP.json, 65k lanes, Sponza 8,676-row table): leaf tests were
+96% of step cost in the original sequential 25-deep running-min form
+(9.05 of 9.38 ms/step); the gather is only 0.55 ms/step and the 32-wide
+slab test 0.69. Leaf mode "batched" (ONE watertight call over an
+(N, 25) middle axis + min-reduce, _leaf_batched) cuts the step to
+2.09 ms -> whole-wave closest 178.7 -> 38.7 ms, chunked-8 23.3 ms;
+any-hit 142.7 -> 18.5 ms chunked (cheaper than closest, as it should
+be). NEGATIVE result, do not retry: restating the 25 tests as
+independent flat-(N,) column tests stacked to (25, N) and axis-0
+reduced ("batchedc", perfect lane utilization on paper) measured
+172.8 ms — as slow as the sequential chain. Mosaic does not merge
+independent unrolled op sequences; ONE wide op sequence over a padded
+(N, 25) axis beats 25 perfectly-laid-out narrow ones by 4.5x.
+
 Layout (one (R, 256) f32 table, self-describing rows):
 
   INTERIOR row: 32 children's slabs component-major
@@ -422,6 +437,22 @@ def _leaf_anyhit(geom, t_max, row, lact, found):
     return found
 
 
+def _leaf_anyhit_batched(geom, t_max, row, lact, found):
+    """Occlusion leaf test over a (N, 25) middle axis: one broadcast
+    watertight call + an any-reduction. The sequential 25-deep chain was
+    96% of per-step cost on hardware (PROBE_STEP.json attrib_leaf)."""
+    i32 = jnp.int32
+    o, d = geom["o"], geom["d"]
+    n = o.shape[0]
+    tris = row[:, :9 * LEAFW].reshape(n, LEAFW, 9)
+    ids = row[:, 9 * LEAFW:10 * LEAFW].astype(i32)
+    _, _, h_a = watertight_hit_diag(
+        o[:, None, :], d[:, None, :], t_max[:, None],
+        tris[:, :, 0:3], tris[:, :, 3:6], tris[:, :, 6:9])
+    hit = jnp.any(h_a & (ids >= 0), axis=1)
+    return found | (lact & hit)
+
+
 def _traverse_step(table, st, geom, any_hit, count_steps,
                    leaf_mode="chain",
                    do_leaf=True, do_interior=True, do_stack=True):
@@ -483,7 +514,10 @@ def _traverse_step(table, st, geom, any_hit, count_steps,
         tri = st.get("tri")
         bc = (st.get("b0"), st.get("b1"), st.get("b2"))
     elif any_hit:
-        found = _leaf_anyhit(geom, t_bound, row, lact, found)
+        if leaf_mode == "batched":
+            found = _leaf_anyhit_batched(geom, t_bound, row, lact, found)
+        else:
+            found = _leaf_anyhit(geom, t_bound, row, lact, found)
         t_best = t_bound
     elif leaf_mode == "batched":
         t_best, tri, bc, found = _leaf_batched(
@@ -549,7 +583,7 @@ def _traverse_result(final, any_hit, count_steps):
 
 def bvhw_intersect(table, o, d, t_max, any_hit: bool = False,
                    count_steps: bool = False, stackw: int = STACKW,
-                   leaf_mode: str = "chain"):
+                   leaf_mode: str = "batched"):
     """Lockstep BVH32 traversal: ONE (N, 256) row gather per iteration.
 
     table: (R, 256) device table from build_bvhw. Returns the
@@ -571,7 +605,7 @@ def bvhw_intersect(table, o, d, t_max, any_hit: bool = False,
 
 def bvhw_intersect_il(table, o, d, t_max, k: int = 2,
                       any_hit: bool = False, count_steps: bool = False,
-                      stackw: int = STACKW, leaf_mode: str = "chain"):
+                      stackw: int = STACKW, leaf_mode: str = "batched"):
     """INTERLEAVED traversal: k independent sub-waves advance inside ONE
     while_loop body, so their k row gathers (distinct gather ops with no
     data dependency) pipeline on the gather engine — measured ~5.2
@@ -617,7 +651,7 @@ def bvhw_intersect_chunked(table, o, d, t_max, chunks: int = 4,
                            any_hit: bool = False,
                            count_steps: bool = False,
                            interleave: int = 1, stackw: int = STACKW,
-                           leaf_mode: str = "chain"):
+                           leaf_mode: str = "batched"):
     """Independent sub-wave loops (the TPU runtime overlaps them; see
     bvh.bvh_intersect_chunked), optionally k-way interleaved so each
     chunk's gathers pipeline. interleave defaults OFF in the fused

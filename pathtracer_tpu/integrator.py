@@ -163,7 +163,7 @@ def _traversal_knobs(scene):
     if scene.bw_rows.shape[0] < _SEG_MIN_ROWS:
         il = 1
     return dict(chunks=chunks, interleave=il, stackw=scene.bw_depth,
-                leaf_mode=tuning.get_str("bvhw_leaf_mode", "chain"))
+                leaf_mode=tuning.get_str("bvhw_leaf_mode", "batched"))
 
 
 def _main_anyhit(scene, o, d, t_max):
@@ -192,7 +192,7 @@ def _alpha_tree_isect(scene, o, d, t_max):
         scene.bwa_rows, o, d, t_max,
         chunks=tuning.get("traversal_chunks", 4),
         stackw=scene.bwa_depth,
-        leaf_mode=tuning.get_str("bvhw_leaf_mode", "chain"))
+        leaf_mode=tuning.get_str("bvhw_leaf_mode", "batched"))
 
 
 def _alpha_tree_closest(scene, o, d, t_max):

@@ -96,21 +96,36 @@ t_inf = jnp.full((N,), np.inf, jnp.float32)
 t_100 = jnp.full((N,), 100.0, jnp.float32)
 
 # ---- 1. while-loop production baselines
+_FAST = os.environ.get("PROBE_STEP_FAST", "0") == "1"
 for name, kw in (
-    ("wl closest chain  sw10", dict()),
-    ("wl closest chain  swD ", dict(stackw=depth)),
+    ("wl closest chain  sw10", dict(leaf_mode="chain")),
+    ("wl closest chain  swD ", dict(stackw=depth, leaf_mode="chain")),
     ("wl closest batched swD", dict(stackw=depth, leaf_mode="batched")),
 ):
+    if _FAST and "chain" in kw.get("leaf_mode", ""):
+        continue
     timed(f"[{name}]",
           jax.jit(lambda o, d, kw=kw: bvhw.bvhw_intersect(
               tab, o, d, t_inf, **kw)["t"]), o_bush, d_bush)
 for name, kw in (
-    ("wl anyhit  slim   sw10", dict()),
-    ("wl anyhit  slim   swD ", dict(stackw=depth)),
+    ("wl anyhit  chain  swD ", dict(stackw=depth, leaf_mode="chain")),
+    ("wl anyhit  batchd swD ", dict(stackw=depth, leaf_mode="batched")),
 ):
+    if _FAST and "chain" in kw.get("leaf_mode", ""):
+        continue
     timed(f"[{name}]",
           jax.jit(lambda o, d, kw=kw: bvhw.bvhw_intersect(
               tab, o, d, t_100, any_hit=True, **kw)), o_bush, d_bush)
+for name, kw in (
+    ("wl closest batched ck8", dict(chunks=8, leaf_mode="batched")),
+    ("wl anyhit  batched ck8", dict(chunks=8, any_hit=True,
+                                    leaf_mode="batched")),
+):
+    timed(f"[{name}]",
+          jax.jit(lambda o, d, kw=kw: bvhw.bvhw_intersect_chunked(
+              tab, o, d,
+              t_100 if kw.get("any_hit") else t_inf,
+              stackw=depth, **kw)), o_bush, d_bush)
 
 # ---- 2. fixed-iteration component attribution
 def fixed_iter(any_hit=False, leaf_mode="chain", stackw=10, **gates):
@@ -129,10 +144,14 @@ def fixed_iter(any_hit=False, leaf_mode="chain", stackw=10, **gates):
     return jax.jit(run)
 
 
+if _FAST:
+    print("done (fast mode) ->", _BANK, flush=True)
+    sys.exit(0)
+
 base = {}
 for name, kw in (
-    ("fx full chain   sw10", dict()),
-    ("fx full chain   swD ", dict(stackw=depth)),
+    ("fx full chain   sw10", dict(leaf_mode="chain")),
+    ("fx full chain   swD ", dict(stackw=depth, leaf_mode="chain")),
     ("fx full batched swD ", dict(stackw=depth, leaf_mode="batched")),
     ("fx no-leaf      swD ", dict(stackw=depth, do_leaf=False)),
     ("fx no-interior  swD ", dict(stackw=depth, do_interior=False)),
