@@ -7,6 +7,7 @@ across refactors (BASELINE.md correctness methodology)."""
 import os
 
 import numpy as np
+import pytest
 
 from pathtracer_tpu.integrator import PathConfig, PathIntegrator
 from pathtracer_tpu.scene.mitsuba import load_mitsuba
@@ -24,6 +25,7 @@ def test_cornell_matches_golden():
     assert rmse < 1e-3, rmse
 
 
+@pytest.mark.slow
 def test_sponza_glb_golden():
     """Pin the flagship GLB path end to end (import -> alpha split ->
     BVH8 main+alpha trees -> render): tiny-res film vs a committed golden
@@ -65,6 +67,7 @@ def _golden_check(name, cam, scene, cfg, spp):
     assert abs(f.mean() - r.mean()) < 0.02 * r.mean() + 1e-4
 
 
+@pytest.mark.slow
 def test_small_scene_golden():
     """Config B (mirror + glass spheres, point/distant lights)."""
     from pathtracer_tpu.scene.procedural import small_scene
@@ -73,6 +76,7 @@ def test_small_scene_golden():
                   PathConfig(max_depth=4), spp=2)
 
 
+@pytest.mark.slow
 def test_microfacet_golden():
     """Config C (GGX metal/substrate/glass under an area light)."""
     from pathtracer_tpu.scene.procedural import microfacet_scene
@@ -81,6 +85,7 @@ def test_microfacet_golden():
                   PathConfig(max_depth=6), spp=2)
 
 
+@pytest.mark.slow
 def test_envmap_disney_golden():
     """Config D (HDR envmap importance sampling + Disney BSDF)."""
     from pathtracer_tpu.scene.procedural import envmap_disney_scene

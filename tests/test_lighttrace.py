@@ -9,6 +9,7 @@ emission sampling, BSDF evaluation, visibility, and the camera model.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pathtracer_tpu.core.camera import Camera, generate_rays, project_points
 from pathtracer_tpu.integrator import PathConfig, PathIntegrator
@@ -47,6 +48,7 @@ def test_project_inverts_raygen():
     assert float(imp) > 0
 
 
+@pytest.mark.slow
 def test_lt_matches_pt_point_light():
     """Floor plane + point light: the s=2 transport class, exercising the
     sphere-emission branch of sample_le end to end."""
@@ -73,6 +75,7 @@ def test_lt_matches_pt_point_light():
     np.testing.assert_allclose(lb, pb, rtol=0.2, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_lt_matches_pt_cornell():
     """Cornell box: area-light emission (y0 direct connection + diffuse
     interreflection) against the reference-mode path tracer."""

@@ -87,6 +87,7 @@ def test_sharded_matches_single(cornell):
                                rtol=0, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sharded_2d_mesh_matches_single(cornell):
     """(tiles=4, samples=2) mesh == single-chip render (VERDICT r1 item 10:
     the Config-E-class 2D scaling axis — bands x sample frames)."""
@@ -104,6 +105,7 @@ def test_sharded_2d_mesh_matches_single(cornell):
                                rtol=0, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_sharded_segmented_sponza_matches_single():
     """Sharded SEGMENTED path (per-bounce programs under shard_map) ==
     single-chip render on the Sponza-class GLB (VERDICT r3 item 4: big
@@ -128,6 +130,7 @@ def test_sharded_segmented_sponza_matches_single():
                                rtol=1e-2, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_sharded_segmented_2d_mesh_matches_single(cornell):
     """Segmented sharded path on a 2D (tiles x samples) mesh == single
     chip; forces segmentation on the small cornell tree to exercise the
@@ -192,6 +195,7 @@ def test_checkpoint_path_without_extension(tmp_path, cornell):
     assert integ2.last_ray_count == 0.0  # resumed at next_frame == spp
 
 
+@pytest.mark.slow
 def test_all_lights_strategy_matches_one_light_mean(cornell):
     """uniform_sample_all_lights (integrator.rs:141-189) converges to the
     same direct lighting as one-light sampling x n_lights."""

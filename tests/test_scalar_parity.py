@@ -17,6 +17,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from pathtracer_tpu.core.camera import Camera, generate_rays
 from pathtracer_tpu.core.film import sample_bounds
 from pathtracer_tpu.integrator import PathConfig, TracedScene, trace_wave

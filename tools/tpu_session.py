@@ -328,9 +328,13 @@ if "shade" in stages:
 
 # ------------------------------------------------------------------- seg
 if "seg" in stages:
-    # the old cap's impossible case: depth 15, 131k-ray band, segmented
+    # the old cap's impossible case: depth 15 segmented. TINY-res proof
+    # leg (VERDICT r4 item 9: the 640x200 form of this burned 67 min of
+    # hardware time in r4 while the headline starved) — the fault
+    # envelope is (depth segments x wave lanes) SHAPE coverage, so one
+    # 320x64 band at depth 15 proves the same program structure.
     cam15, sd15, _ = load_gltf("data/sponza_proc.glb",
-                               resolution=(640, 200))  # ~131k rays/band
+                               resolution=(320, 64))  # ~20k rays/band
     integ15 = PathIntegrator(PathConfig(max_depth=15,
                                         mis_mode="onesample"), spp=1)
     t0 = time.time()
@@ -338,9 +342,9 @@ if "seg" in stages:
     film15.block_until_ready()
     a = np.asarray(film15)
     assert np.isfinite(a).all() and (a[..., 3] > 0).any()
-    print(f"[seg] depth15 640x200 1spp OK {time.time()-t0:.1f}s "
+    print(f"[seg] depth15 320x64 1spp OK {time.time()-t0:.1f}s "
           f"(incl compile)", flush=True)
-    bank("seg_depth15_640x200_ok_s", round(time.time() - t0, 1))
+    bank("seg_depth15_320x64_ok_s", round(time.time() - t0, 1))
 
 # ------------------------------------------------------------------ tune
 if "tune" in stages and not _ON_CPU:
