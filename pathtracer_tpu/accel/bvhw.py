@@ -38,9 +38,14 @@ Layout (one (R, 256) f32 table, self-describing rows):
       base + popcount(occ & ((1 << slot) - 1)) — no empty rows, so the
       table stays in the small-fast-gather regime)
       [255] kind = 0
-  LEAF row (max 25 inline triangles):
-      [9*j .. 9*j+9) tri j vertices p0 p1 p2, [225+j] global tri id
-      (-1 pad), [255] kind = 1
+  LEAF row (max 25 inline triangles, COMPONENT-major):
+      [25*c + j] component c of tri j, c in (p0x p0y p0z p1x .. p2z) —
+      so each of the 9 vertex components is one contiguous (N, 25)
+      slice of the gathered row (the batched leaf test consumes flat
+      column blocks; a vertex-major [9j..9j+9) layout would force 9
+      stride-9 re-slices or (N, 25, 3) intermediates whose minor dim
+      pads 3 -> 128 lanes). [225+j] global tri id (-1 pad),
+      [255] kind = 1
 
 Approximate front-to-back ordering generalizes the BVH8 octant trick to
 a 5-bit XOR-permutable slot code: bits [4,3,2] = the child centroid's
@@ -68,8 +73,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.intersect import (watertight_cols_pre, watertight_hit_cols,
-                             watertight_hit_diag)
+from ..ops.intersect import watertight_cols_pre, watertight_hit_cols
 from ..core import math as pm
 from .bvh import build_bvh
 
@@ -138,9 +142,9 @@ def bvhw_from_binary(b, p0r, p1r, p2r):
         for j in range(LEAFW):
             have = j < cnt
             tri = np.where(have, o + j, 0)
-            r[:, 9 * j:9 * j + 3] = np.where(have[:, None], p0r[tri], 0.0)
-            r[:, 9 * j + 3:9 * j + 6] = np.where(have[:, None], p1r[tri], 0.0)
-            r[:, 9 * j + 6:9 * j + 9] = np.where(have[:, None], p2r[tri], 0.0)
+            for c in range(9):
+                src = (p0r, p1r, p2r)[c // 3]
+                r[:, LEAFW * c + j] = np.where(have, src[tri, c % 3], 0.0)
             r[:, 9 * LEAFW + j] = np.where(have, tri.astype(np.float32), -1.0)
         r[:, 255] = 1.0
         return r
@@ -267,28 +271,29 @@ def bvhw_from_binary(b, p0r, p1r, p2r):
 # device traversal
 
 
-def _slab32(row, o, inv_d, t_best):
+def _slab32(row, oc96, ic96, t_best):
     """Robust slab test of the 32 child boxes in an interior row.
 
     (N, 32) bool, gamma(3)-widened (bounds.rs:198-232 semantics); NaN
-    axes from 0*inf are non-constraining like bvh._slab_test."""
+    axes from 0*inf are non-constraining like bvh._slab_test.
+
+    Wide form: the row's lo/hi slab halves are contiguous 96-float
+    blocks ([bminx(32) bminy(32) bminz(32)] / [bmax...]), so the bulk of
+    the arithmetic runs on (N, 96) arrays (96 -> 128 lane pad, 1.33x)
+    against per-ray origin/inv-dir blocks hoisted out of the traversal
+    loop (oc96/ic96 = each component broadcast to its 32-lane block) —
+    only the final 3-way max/min reduces on (N, 32) slices (32 -> 128,
+    4x pad), instead of every one of the ~18 ops paying the 4x."""
     g = 1.0 + 2.0 * pm.gamma(3)
-    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
-    ix, iy, iz = inv_d[:, 0:1], inv_d[:, 1:2], inv_d[:, 2:3]
-
-    def axis(lo, hi, oc, ic):
-        t0 = (lo - oc) * ic
-        t1 = (hi - oc) * ic
-        nan_ax = jnp.isnan(t0) | jnp.isnan(t1)
-        tn = jnp.where(nan_ax, -jnp.inf, jnp.minimum(t0, t1))
-        tf = jnp.where(nan_ax, jnp.inf, jnp.maximum(t0, t1) * g)
-        return tn, tf
-
-    nx, fx = axis(row[:, 0:32], row[:, 96:128], ox, ix)
-    ny, fy = axis(row[:, 32:64], row[:, 128:160], oy, iy)
-    nz, fz = axis(row[:, 64:96], row[:, 160:192], oz, iz)
-    tn = jnp.maximum(jnp.maximum(nx, ny), nz)
-    tf = jnp.minimum(jnp.minimum(fx, fy), fz)
+    lo = (row[:, 0:96] - oc96) * ic96
+    hi = (row[:, 96:192] - oc96) * ic96
+    nan_ax = jnp.isnan(lo) | jnp.isnan(hi)
+    tn96 = jnp.where(nan_ax, -jnp.inf, jnp.minimum(lo, hi))
+    tf96 = jnp.where(nan_ax, jnp.inf, jnp.maximum(lo, hi) * g)
+    tn = jnp.maximum(jnp.maximum(tn96[:, 0:32], tn96[:, 32:64]),
+                     tn96[:, 64:96])
+    tf = jnp.minimum(jnp.minimum(tf96[:, 0:32], tf96[:, 32:64]),
+                     tf96[:, 64:96])
     return (tn <= tf) & (tf > 0.0) & (tn < t_best[:, None])
 
 
@@ -316,7 +321,15 @@ def _traverse_setup(table, o, d, t_max, count_steps, stackw=STACKW):
     slot_ids = jnp.arange(BW, dtype=i32)[None, :]                  # (1, 32)
     perm = jnp.bitwise_xor(slot_ids, mask5[:, None])               # (N, 32)
     bitvals = (jnp.uint32(1) << perm.astype(u32))                  # (N, 32)
-    geom = dict(o=o, d=d, inv_d=inv_d, mask5=mask5, bitvals=bitvals)
+    # per-ray slab-test blocks, hoisted: component c broadcast to the
+    # row's 32-lane block c (the wide _slab32 form consumes these)
+    oc96 = jnp.concatenate(
+        [jnp.broadcast_to(o[:, i:i + 1], (n, BW)) for i in range(3)], axis=1)
+    ic96 = jnp.concatenate(
+        [jnp.broadcast_to(inv_d[:, i:i + 1], (n, BW)) for i in range(3)],
+        axis=1)
+    geom = dict(o=o, d=d, inv_d=inv_d, mask5=mask5, bitvals=bitvals,
+                oc96=oc96, ic96=ic96)
 
     # per-ray watertight shear constants, hoisted out of the loop as flat
     # (N,) columns: the "cols" leaf mode never touches an (N, 3) array —
@@ -325,8 +338,7 @@ def _traverse_setup(table, o, d, t_max, count_steps, stackw=STACKW):
     geom["cols"] = watertight_cols_pre(o, d)
 
     root = table[0]
-    root_hits = _slab32(jnp.broadcast_to(root[None, :], (n, WW)), o, inv_d,
-                        t_max)
+    root_hits = _slab32(root[None, :], oc96, ic96, t_max)
     mask0 = jnp.sum(jnp.where(root_hits, bitvals, jnp.uint32(0)), axis=1,
                     dtype=u32)
     mask0 = jnp.where(t_max > 0.0, mask0, jnp.uint32(0))  # dead on entry
@@ -378,7 +390,7 @@ def _leaf_chain(geom, t_best, row, lact, tri, bc, found):
     pre = geom["cols"]
     for j in range(LEAFW):
         t_j, b0_j, b1_j, b2_j, h_j = watertight_hit_cols(
-            pre, t_best, [row[:, 9 * j + k] for k in range(9)])
+            pre, t_best, [row[:, LEAFW * k + j] for k in range(9)])
         id_j = row[:, 9 * LEAFW + j].astype(i32)
         take = lact & h_j & (id_j >= 0)
         t_best = jnp.where(take, t_j, t_best)
@@ -392,17 +404,21 @@ def _leaf_chain(geom, t_best, row, lact, tri, bc, found):
 
 def _leaf_batched(geom, t_best, row, lact, tri, bc, found):
     """25 leaf tests as ONE broadcast watertight call over a (N, 25)
-    middle axis + a min-reduction — no 25-deep where-chain, so the VPU
-    sees independent element-wise work instead of a serial dependency."""
+    minor axis + a min-reduction — no 25-deep where-chain, so the VPU
+    sees independent element-wise work instead of a serial dependency.
+
+    All-columns form: the component-major leaf layout makes each of the
+    9 vertex components a contiguous (N, 25) slice of the gathered row,
+    and the hoisted per-ray shear constants broadcast in as (N, 1) —
+    every intermediate is (N, 25), never (N, 25, 3) (whose minor dim
+    would pad 3 -> 128 lanes, a 42x VPU waste)."""
     i32 = jnp.int32
-    o, d = geom["o"], geom["d"]
-    n = o.shape[0]
     b0, b1, b2 = bc
-    tris = row[:, :9 * LEAFW].reshape(n, LEAFW, 9)
+    pre = {k: v[:, None] for k, v in geom["cols"].items()}
+    c9 = [row[:, LEAFW * k:LEAFW * (k + 1)] for k in range(9)]
     ids = row[:, 9 * LEAFW:10 * LEAFW].astype(i32)               # (N, 25)
-    t_a, b_a, h_a = watertight_hit_diag(
-        o[:, None, :], d[:, None, :], t_best[:, None],
-        tris[:, :, 0:3], tris[:, :, 3:6], tris[:, :, 6:9])
+    t_a, b0_a, b1_a, b2_a, h_a = watertight_hit_cols(
+        pre, t_best[:, None], c9)
     h_a = h_a & (ids >= 0) & lact[:, None]
     t_m = jnp.where(h_a, t_a, jnp.inf)                           # (N, 25)
     t_min = jnp.min(t_m, axis=1)
@@ -415,12 +431,9 @@ def _leaf_batched(geom, t_best, row, lact, tri, bc, found):
     t_best = jnp.where(any_h, t_min, t_best)
     tri = jnp.where(any_h, sel_i, tri)
     fw = first & any_h[:, None]
-    b0 = jnp.where(any_h, jnp.sum(jnp.where(fw, b_a[:, :, 0], 0.0), axis=1),
-                   b0)
-    b1 = jnp.where(any_h, jnp.sum(jnp.where(fw, b_a[:, :, 1], 0.0), axis=1),
-                   b1)
-    b2 = jnp.where(any_h, jnp.sum(jnp.where(fw, b_a[:, :, 2], 0.0), axis=1),
-                   b2)
+    b0 = jnp.where(any_h, jnp.sum(jnp.where(fw, b0_a, 0.0), axis=1), b0)
+    b1 = jnp.where(any_h, jnp.sum(jnp.where(fw, b1_a, 0.0), axis=1), b1)
+    b2 = jnp.where(any_h, jnp.sum(jnp.where(fw, b2_a, 0.0), axis=1), b2)
     return t_best, tri, (b0, b1, b2), found | any_h
 
 
@@ -431,24 +444,22 @@ def _leaf_anyhit(geom, t_max, row, lact, found):
     pre = geom["cols"]
     for j in range(LEAFW):
         _, _, _, _, h_j = watertight_hit_cols(
-            pre, t_max, [row[:, 9 * j + k] for k in range(9)])
+            pre, t_max, [row[:, LEAFW * k + j] for k in range(9)])
         id_j = row[:, 9 * LEAFW + j].astype(i32)
         found = found | (lact & h_j & (id_j >= 0))
     return found
 
 
 def _leaf_anyhit_batched(geom, t_max, row, lact, found):
-    """Occlusion leaf test over a (N, 25) middle axis: one broadcast
-    watertight call + an any-reduction. The sequential 25-deep chain was
-    96% of per-step cost on hardware (PROBE_STEP.json attrib_leaf)."""
+    """Occlusion leaf test over a (N, 25) minor axis: one broadcast
+    watertight call + an any-reduction, all-columns form (see
+    _leaf_batched). The sequential 25-deep chain was 96% of per-step
+    cost on hardware (PROBE_STEP.json attrib_leaf)."""
     i32 = jnp.int32
-    o, d = geom["o"], geom["d"]
-    n = o.shape[0]
-    tris = row[:, :9 * LEAFW].reshape(n, LEAFW, 9)
+    pre = {k: v[:, None] for k, v in geom["cols"].items()}
+    c9 = [row[:, LEAFW * k:LEAFW * (k + 1)] for k in range(9)]
     ids = row[:, 9 * LEAFW:10 * LEAFW].astype(i32)
-    _, _, h_a = watertight_hit_diag(
-        o[:, None, :], d[:, None, :], t_max[:, None],
-        tris[:, :, 0:3], tris[:, :, 3:6], tris[:, :, 6:9])
+    _, _, _, _, h_a = watertight_hit_cols(pre, t_max[:, None], c9)
     hit = jnp.any(h_a & (ids >= 0), axis=1)
     return found | (lact & hit)
 
@@ -531,7 +542,8 @@ def _traverse_step(table, st, geom, any_hit, count_steps,
     # --- interior: slab-test the 32 grandchildren, descend
     if do_interior:
         iact = act & ~is_leaf
-        hits = _slab32(row, o, inv_d, t_best) & iact[:, None]
+        hits = _slab32(row, geom["oc96"], geom["ic96"], t_best) \
+            & iact[:, None]
         new_mask = jnp.sum(jnp.where(hits, bitvals, jnp.uint32(0)), axis=1,
                            dtype=u32)
         new_base = row[:, 192].astype(i32)

@@ -9,8 +9,12 @@ ops/intersect.py (ref shape.rs:74-360).
 
 Layout: rays as SoA components reshaped (N/128, 128) — Mosaic's native
 (sublane, lane) tiling; 1-D vectors trip i1/i8 layout bugs. Triangles ride
-along as an (F, 12) VMEM-resident record table; the triangle loop is a
-fori_loop over scalar rows broadcast against the ray block.
+along as an (F, 12) record table — SMEM on the production F <= 128 path so
+vertex components are native scalar-core reads broadcast against the ray
+block (a VMEM row load needs per-element vector extracts), VMEM rows on
+the big-F loop fallbacks. The unrolled loop runs ``chains``
+independent closest-hit accumulators merged at the end, breaking the
+serial best-t dependency between consecutive triangle tests.
 """
 
 from __future__ import annotations
@@ -37,7 +41,15 @@ def _sel3(k, a, b, c):
     return jnp.where(k == 0, a, jnp.where(k == 1, b, c))
 
 
-def _intersect_kernel(any_hit: bool, f: int,
+def _merge_carry(a, b):
+    """Merge two independent closest-hit accumulator chains."""
+    take = b[0] < a[0]
+    return (jnp.where(take, b[0], a[0]), jnp.where(take, b[1], a[1]),
+            jnp.where(take, b[2], a[2]), jnp.where(take, b[3], a[3]),
+            jnp.where(take, b[4], a[4]), jnp.maximum(a[5], b[5]))
+
+
+def _intersect_kernel(any_hit: bool, f: int, smem: bool, chains: int,
                       ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                       tmax_ref, tri_ref,
                       t_out, tri_out, b0_out, b1_out, b2_out, hit_out):
@@ -63,10 +75,17 @@ def _intersect_kernel(any_hit: bool, f: int,
 
     def tri_body(i, carry):
         best_t, best_tri, b0b, b1b, b2b, found = carry
-        row = tri_ref[i]  # (12,) VMEM row (SMEM is too small for big F)
-        p0x_, p0y_, p0z_ = row[0], row[1], row[2]
-        p1x_, p1y_, p1z_ = row[3], row[4], row[5]
-        p2x_, p2y_, p2z_ = row[6], row[7], row[8]
+        if smem:
+            # SMEM rows: native scalar reads on the scalar core (a VMEM
+            # row load costs 12 per-element vector extracts here)
+            p0x_, p0y_, p0z_ = tri_ref[i, 0], tri_ref[i, 1], tri_ref[i, 2]
+            p1x_, p1y_, p1z_ = tri_ref[i, 3], tri_ref[i, 4], tri_ref[i, 5]
+            p2x_, p2y_, p2z_ = tri_ref[i, 6], tri_ref[i, 7], tri_ref[i, 8]
+        else:
+            row = tri_ref[i]  # (12,) VMEM row (big-F fallback)
+            p0x_, p0y_, p0z_ = row[0], row[1], row[2]
+            p1x_, p1y_, p1z_ = row[3], row[4], row[5]
+            p2x_, p2y_, p2z_ = row[6], row[7], row[8]
 
         def shear(px_, py_, pz_):
             tx = _sel3(kx, px_, py_, pz_) - o_kx
@@ -136,10 +155,17 @@ def _intersect_kernel(any_hit: bool, f: int,
     # the TPU worker (Mosaic dynamic vector indexing); callers keep f <= 128
     # so the unrolled path is always taken on hardware.
     if f <= 128:
-        # full unroll: lets Mosaic software-pipeline the scalar loads
-        carry = init
+        # full unroll over k INDEPENDENT accumulator chains: the running
+        # best_t/where chain is the only serial dependency between
+        # triangles, so splitting it k ways lets the VPU overlap k tests
+        # (merged at the end — closest hit is associative)
+        k = max(1, min(chains, f))
+        carries = [init] * k
         for i in range(f):
-            carry = tri_body(i, carry)
+            carries[i % k] = tri_body(i, carries[i % k])
+        carry = carries[0]
+        for c in carries[1:]:
+            carry = _merge_carry(carry, c)
     elif any_hit:
         def cond(state):
             i, carry = state
@@ -162,14 +188,16 @@ def _intersect_kernel(any_hit: bool, f: int,
     hit_out[:] = found
 
 
-@functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("any_hit", "interpret", "chains"))
 def intersect_pallas(o, d, t_max, tri_pack, any_hit: bool = False,
-                     interpret: bool = False):
+                     interpret: bool = False, chains: int = 4):
     """Closest-hit (or any-hit) over the packed triangle soup.
 
     o, d: (N, 3); t_max: (N,); tri_pack: (F, 12) f32 [p0 p1 p2 pad] rows.
     N is padded to BLOCK internally. Returns the intersect_brute-style hit
-    record (or (N,) bool for any_hit).
+    record (or (N,) bool for any_hit). chains: independent closest-hit
+    accumulator chains in the unrolled F <= 128 path.
     """
     n = o.shape[0]
     f = tri_pack.shape[0]
@@ -187,14 +215,19 @@ def intersect_pallas(o, d, t_max, tri_pack, any_hit: bool = False,
     grid = n_pad // BLOCK
     block = lambda: pl.BlockSpec((rows, 128), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)
+    # the unrolled small-F path reads triangle components as SCALARS:
+    # serve them from SMEM (f <= 128 -> 6 KB). The big-F loop fallbacks
+    # keep VMEM rows (SMEM is KB-scale).
+    smem = f <= 128
     tri_spec = pl.BlockSpec((f, 12), lambda i: (0, 0),
-                            memory_space=pltpu.VMEM)
+                            memory_space=pltpu.SMEM if smem
+                            else pltpu.VMEM)
     out_shapes = tuple(
         jax.ShapeDtypeStruct((n_pad // 128, 128), dt)
         for dt in (jnp.float32, jnp.int32, jnp.float32, jnp.float32,
                    jnp.float32, jnp.int32))
     t, tri, b0, b1, b2, hit = pl.pallas_call(
-        functools.partial(_intersect_kernel, any_hit, f),
+        functools.partial(_intersect_kernel, any_hit, f, smem, chains),
         grid=(grid,),
         in_specs=[block() for _ in range(7)] + [tri_spec],
         out_specs=tuple(block() for _ in range(6)),
