@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any
 
 import jax
@@ -1154,8 +1155,13 @@ def render_band(scene, cfg: PathConfig, spp: int, band_shape: tuple[int, int],
             jy = draw(1)
         p_film = jnp.stack([pxf + jx, pyf + jy], axis=-1)
         # differentials feed mip filter widths — only built when some
-        # texture will consume them (static skip otherwise)
-        if dxdy_cam is not None and (scene.has_tex or scene.has_normal_maps):
+        # texture will consume them (static skip otherwise).
+        # PTPU_NO_DIFF=1 forces the no-differential path (every texture
+        # lookup takes the width-0 level-0 bilinear fast path) — an A/B
+        # knob for diagnosing mip-selection artifacts (tools/diag_gallery).
+        if (dxdy_cam is not None
+                and (scene.has_tex or scene.has_normal_maps)
+                and not os.environ.get("PTPU_NO_DIFF")):
             o, d, rxd, ryd = generate_rays_diff(
                 r2c, cam_rot, cam_pos, p_film, dxdy_cam, diff_scale)
         else:
@@ -1235,7 +1241,8 @@ def _seg_gen_impl(scene, cfg, px, py, b_base, scramble,
         jx = draw(0)
         jy = draw(1)
     p_film = jnp.stack([pxf + jx, pyf + jy], axis=-1)
-    if dxdy_cam is not None and (scene.has_tex or scene.has_normal_maps):
+    if (dxdy_cam is not None and (scene.has_tex or scene.has_normal_maps)
+            and not os.environ.get("PTPU_NO_DIFF")):
         o, d, rxd, ryd = generate_rays_diff(r2c, cam_rot, cam_pos, p_film,
                                             dxdy_cam, diff_scale)
     else:

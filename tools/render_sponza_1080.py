@@ -43,6 +43,18 @@ t0 = time.time()
 out = (f"gallery/sponza_1080p_{integ.spp}spp.png" if res == (1920, 1080)
        else f"/tmp/sponza_{res[0]}x{res[1]}_{integ.spp}spp.png")
 
+# Wall-clock budget: a TPU render process must NEVER be killed mid-op
+# (the axon terminal stays claimed >40 min after an unclean client
+# death, PLAN.md gotchas) — so instead of an outer timeout, stop
+# CLEANLY at the next chunk boundary once the budget is spent. The
+# checkpoint makes a later run resume where this one stopped.
+budget_s = float(os.environ.get("GALLERY_BUDGET_S", "0") or 0)
+done_spp = [0]
+
+
+class _Budget(Exception):
+    pass
+
 
 def progress(film, done):
     # Write the partial image every chunk: the additive (rgb*w, sum_w)
@@ -52,12 +64,27 @@ def progress(film, done):
     # truncated PNG at the artifact path (ADVICE r4).
     write_png(out + ".tmp", to_rgb8(film))
     os.replace(out + ".tmp", out)
+    done_spp[0] = done
     print(f"  {done}/{integ.spp} spp  {time.time()-t0:.0f}s  -> {out}",
           flush=True)
+    if budget_s and time.time() - t0 > budget_s and done < integ.spp:
+        raise _Budget
 
 
-film = integ.render_progressive(cam, scene, chunk_spp=4, callback=progress,
-                                checkpoint=ck)
+try:
+    film = integ.render_progressive(cam, scene, chunk_spp=4,
+                                    callback=progress, checkpoint=ck)
+except _Budget:
+    # rename the partial artifact to its TRUE sample count so the
+    # filename never over-claims quality
+    truth = (out.replace(f"{integ.spp}spp", f"{done_spp[0]}spp")
+             if done_spp[0] else None)
+    if truth and truth != out:
+        os.replace(out, truth)
+        print(f"budget {budget_s:.0f}s spent at {done_spp[0]} spp "
+              f"-> {truth} (resume: rerun with the same checkpoint)",
+              flush=True)
+    sys.exit(0)
 dt = time.time() - t0
 rays = integ.last_ray_count
 print(f"render {dt:.1f}s rays={rays/1e6:.1f}M -> {rays/dt/1e6:.2f} Mrays/s",
